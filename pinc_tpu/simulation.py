@@ -1,0 +1,201 @@
+"""The simulation driver: deck -> jitted time step -> run modes.
+
+TPU-native equivalent of the reference's ``main.c``: method selection
+(src/main.c:55-79), allocation (src/main.c:84-107), the leapfrog half-kick
+initialization (src/main.c:141-186) and the production time loop
+(src/main.c:197-274) — except that the *entire* per-step pipeline
+
+    move -> migrate -> deposit -> solve -> E=-grad(phi) -> kick (+energies)
+
+is one pure function compiled once by XLA.  There are no halo exchanges or
+barriers on the single-block path; on the sharded path (parallel/) the same
+pipeline runs inside ``shard_map`` with collective permutes where the C code
+had MPI_Sendrecv.
+
+Per-step field/particle HDF5 output is decoupled from the device loop: the
+step returns the state + a small diagnostics pytree, and ``run`` only pulls
+snapshots to host on the configured output cadence.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PincConfig
+from .grid import GridSpec, gradient, potential_energy
+from .population import Particles, SpeciesParams, initialize
+from .registry import ACCELERATORS, DISTRIBUTORS, MIGRATORS, RUN_MODES, SOLVERS
+from .units import Units, alloc_and_normalize
+from .utils.logging import STATUS, TIMER, WARNING, msg
+from .ops import pusher as _pusher_ops          # noqa: F401 (registry side effects)
+from .solvers import spectral as _spectral      # noqa: F401
+from .solvers import multigrid as _multigrid    # noqa: F401
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Diagnostics:
+    kin_energy: jax.Array   # (S,) time-centered KE per species
+    pot_energy: jax.Array   # () total field energy 0.5*sum(rho*phi)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class StepOutput:
+    particles: Particles
+    rho: jax.Array
+    phi: jax.Array
+    E: jax.Array
+    diag: Diagnostics
+
+
+class Simulation:
+    """Owns the configuration, the static problem setup, and the jitted
+    step.  Mirrors the lifetime of regular() in the reference."""
+
+    def __init__(self, cfg: PincConfig, seed: int = 1):
+        self.cfg = cfg
+        self.units: Units = alloc_and_normalize(cfg)
+        self.spec = GridSpec.from_config(cfg)
+
+        # method selection — same ini names as the reference's select()s
+        self.acc = ACCELERATORS.select(cfg, "methods:acc")
+        self.distr = DISTRIBUTORS.select(cfg, "methods:distr")
+        self.migrate = MIGRATORS.select(cfg, "methods:migrate",
+                                        default="puExtractEmigrantsND")
+        self.solver = SOLVERS.select(cfg, "methods:poisson")
+
+        self.particles, self.params = initialize(cfg, self.spec, seed=seed)
+        self.n_time_steps = cfg.get_int("time:ntimesteps")
+        self._step_jit = jax.jit(self._step, donate_argnums=(0,))
+        self._half_kick_jit = jax.jit(self._half_kick, donate_argnums=(0,))
+
+    # ----------------------------------------------------------------- step
+    def _fields_from_particles(self, particles: Particles):
+        rho = self.distr(particles, self.params, self.spec.global_size,
+                         periodic=self.spec.periodic, dtype=self.spec.dtype)
+        phi = self.solver(rho)
+        E = -gradient(phi)
+        return rho, phi, E
+
+    def _half_kick(self, particles: Particles) -> StepOutput:
+        """Initialization: solve the initial field and advance velocities a
+        half step back (src/main.c:170-186: gMul(E,0.5); acc; gMul(E,2))."""
+        rho, phi, E = self._fields_from_particles(particles)
+        particles, ke = self.acc(particles, self.params, 0.5 * E,
+                                 periodic=self.spec.periodic)
+        pe = potential_energy(rho, phi)
+        return StepOutput(particles, rho, phi, E,
+                          Diagnostics(kin_energy=ke, pot_energy=pe))
+
+    def _step(self, particles: Particles) -> StepOutput:
+        """One full leapfrog step — the body of the reference time loop
+        (src/main.c:197-274), objects elided (see objects.py)."""
+        particles = _pusher_ops.move(particles, self.spec.global_size,
+                                     periodic=self.spec.periodic)
+        particles = self.migrate(particles)
+        rho, phi, E = self._fields_from_particles(particles)
+        particles, ke = self.acc(particles, self.params, E,
+                                 periodic=self.spec.periodic)
+        pe = potential_energy(rho, phi)
+        return StepOutput(particles, rho, phi, E,
+                          Diagnostics(kin_energy=ke, pot_energy=pe))
+
+    # ---------------------------------------------------------------- scan
+    def make_scan_steps(self, n: int):
+        """Compile an n-step inner loop with lax.scan: returns
+        (particles -> (particles, stacked (ke, pe))) for benchmarking and
+        IO-free runs."""
+        def body(particles, _):
+            out = self._step(particles)
+            return out.particles, (out.diag.kin_energy, out.diag.pot_energy)
+
+        @jax.jit
+        def run_n(particles):
+            return jax.lax.scan(body, particles, None, length=n)
+        return run_n
+
+    # ----------------------------------------------------------------- run
+    def run(self, writer=None, progress_every: int = 10) -> Dict[str, np.ndarray]:
+        """The regular() run mode: half-kick init, nTimeSteps steps,
+        per-step energy history, optional HDF5 writer callbacks."""
+        t_start = time.monotonic()
+        out = self._half_kick_jit(self.particles)
+        if writer is not None:
+            writer.write_step(0, out)
+            writer.write_energy(0, np.asarray(out.diag.kin_energy),
+                                float(out.diag.pot_energy))
+
+        ke_hist: List[np.ndarray] = [np.asarray(out.diag.kin_energy)]
+        pe_hist: List[float] = [float(out.diag.pot_energy)]
+
+        particles = out.particles
+        for n in range(1, self.n_time_steps + 1):
+            out = self._step_jit(particles)
+            particles = out.particles
+            ke = np.asarray(out.diag.kin_energy)
+            pe = float(out.diag.pot_energy)
+            ke_hist.append(ke)
+            pe_hist.append(pe)
+            if writer is not None:
+                writer.write_step(n, out)
+                writer.write_energy(n, ke, pe)
+            if progress_every and n % progress_every == 0:
+                msg(STATUS, "Computing time-step %i (KE=%g PE=%g)",
+                    n, ke.sum(), pe)
+        jax.block_until_ready(particles.cell)
+        wall = time.monotonic() - t_start
+        msg(TIMER, "Time spent: %f s (%d steps)", wall, self.n_time_steps)
+
+        self.particles = particles
+        return {
+            "kinetic": np.stack(ke_hist),            # (T+1, S)
+            "potential": np.asarray(pe_hist),        # (T+1,)
+            "wall_time": wall,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Run modes (reference: select of methods:mode, src/main.c:32-36)
+# ---------------------------------------------------------------------------
+
+@RUN_MODES.register("regular")
+def _regular_factory(cfg: PincConfig):
+    def run(argv_overrides=()):
+        sim = Simulation(cfg)
+        writer = None
+        if "files:output" in cfg:
+            from .io_h5 import OutputWriter
+            writer = OutputWriter(cfg, sim)
+        try:
+            return sim.run(writer=writer)
+        finally:
+            if writer is not None:
+                writer.close()
+    return run
+
+
+@RUN_MODES.register("sMode")
+def _s_mode_factory(cfg: PincConfig):
+    """Demo spectral-solve mode (sMode, src/spectral.c:127-152): fill a
+    sinusoidal rho, solve once, report the error against the analytic
+    solution."""
+    def run(argv_overrides=()):
+        from .grid import fill_sin
+        alloc_and_normalize(cfg)
+        spec = GridSpec.from_config(cfg)
+        solver = SOLVERS.select(cfg, "methods:poisson", default="sSolve")
+        rho_np, phi_exact = fill_sin(spec)
+        phi = np.asarray(jax.jit(solver)(jnp.asarray(rho_np, dtype=spec.dtype)))
+        err = np.sqrt(np.mean((phi - phi_exact) ** 2))
+        msg(STATUS, "sMode RMS error vs analytic: %g", err)
+        return {"rms_error": err, "phi": phi, "phi_exact": phi_exact}
+    return run
