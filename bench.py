@@ -1,0 +1,131 @@
+"""Headline benchmark: particle-steps/sec/chip on a 128^3 warm Maxwellian
+plasma (BASELINE.md target: >= 1e9 on a v5e chip, push + deposit + field
+solve all on device).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+plus auxiliary metrics (Poisson solve ms at 128^3) on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinc_tpu.utils.jaxconfig import enable_compilation_cache
+
+enable_compilation_cache()
+
+BASELINE_PSTEPS = 1.0e9   # particle-steps/sec/chip target from BASELINE.json
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_pic(grid_n=128, ppc=32, steps=20, warmup=2):
+    from pinc_tpu.config import PincConfig
+    from pinc_tpu.simulation import Simulation
+
+    deck = f"""
+[time]
+nTimeSteps = {steps}
+timeStep = 0.2
+[grid]
+nDims = 3
+nSubdomains = 1,1,1
+trueSize = {grid_n},{grid_n},{grid_n}
+stepSize = 1
+boundaries = PERIODIC
+[population]
+nSpecies = 2
+nParticles = {ppc} pc
+nAlloc = {ppc} pc
+charge = -1,1
+mass = 1,1836
+multiplicity = auto
+thermalVelocity = 0.05,0.001
+drift = 0
+[methods]
+mode = regular
+poisson = sSolve
+acc = puAcc3D1KE
+distr = puDistr3D1
+migrate = puExtractEmigrantsND
+"""
+    cfg = PincConfig.from_string(deck)
+    t0 = time.monotonic()
+    sim = Simulation(cfg, seed=1)
+    n_particles = int(np.asarray(sim.particles.counts()).sum())
+    log(f"setup: {grid_n}^3 grid, {n_particles:,} particles "
+        f"({time.monotonic()-t0:.1f}s)")
+
+    run_n = sim.make_scan_steps(steps)
+    t0 = time.monotonic()
+    p, _ = run_n(sim.particles)
+    jax.block_until_ready(p.cell)
+    compile_time = time.monotonic() - t0
+    log(f"compile+first run: {compile_time:.1f}s")
+
+    t0 = time.monotonic()
+    p, (ke, pe) = run_n(p)
+    jax.block_until_ready(p.cell)
+    wall = time.monotonic() - t0
+    psteps = n_particles * steps / wall
+    log(f"{steps} steps in {wall:.3f}s -> {psteps:.3e} particle-steps/s "
+        f"(KE[-1]={float(ke[-1].sum()):.4g})")
+    return psteps
+
+
+def bench_solver(grid_n=128, reps=10):
+    from pinc_tpu.solvers.spectral import SpectralSolver
+    from pinc_tpu.solvers.multigrid import MultigridSolver
+
+    rng = np.random.default_rng(0)
+    rho = jnp.asarray(rng.normal(size=(grid_n,) * 3).astype(np.float32))
+    out = {}
+    for name, solver in [
+        ("fft", jax.jit(SpectralSolver((grid_n,) * 3))),
+        ("mg_vcycle", jax.jit(MultigridSolver(
+            (grid_n,) * 3, n_levels=5, n_pre=3, n_post=3, n_coarse=8,
+            max_cycles=1, tol=0.0))),
+    ]:
+        phi = solver(rho)
+        jax.block_until_ready(phi)
+        t0 = time.monotonic()
+        for _ in range(reps):
+            phi = solver(rho)
+        jax.block_until_ready(phi)
+        ms = (time.monotonic() - t0) / reps * 1e3
+        out[name] = ms
+        log(f"{name} @ {grid_n}^3: {ms:.2f} ms")
+    return out
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    on_tpu = dev.platform != "cpu"
+    grid_n = 128 if on_tpu else 32
+    ppc = 32 if on_tpu else 4
+    steps = 20 if on_tpu else 5
+
+    solver_ms = bench_solver(grid_n=grid_n, reps=10 if on_tpu else 2)
+    psteps = bench_pic(grid_n=grid_n, ppc=ppc, steps=steps)
+
+    print(json.dumps({
+        "metric": "particle_steps_per_sec_per_chip",
+        "value": psteps,
+        "unit": "particle-steps/s",
+        "vs_baseline": psteps / BASELINE_PSTEPS,
+        "aux": {f"poisson_{k}_ms_{grid_n}3": v for k, v in solver_ms.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

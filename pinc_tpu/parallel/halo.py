@@ -1,0 +1,69 @@
+"""Halo exchange via ICI collective permutes.
+
+The TPU-native replacement for the reference's ``gHaloOp``/``gHaloOpDim``
+(src/grid.c:340-406): where the C extracts a slice, MPI_Sendrecv's it to the
+±1 neighbor and sets/adds it into the ghost layer (guarded by an
+MPI_Barrier, grid.c:390), here each direction is one ``lax.ppermute`` over a
+mesh axis inside ``shard_map`` — XLA's dataflow ordering replaces the
+barrier, and the permutes ride the ICI links.
+
+Two operations, mirroring the reference's TOHALO/FROMHALO modes:
+
+* :func:`pad_plus` (TOHALO / setSlice) — append the + neighbor's first
+  plane as a ghost plane so CIC gathers at local index t can read it.
+* :func:`fold_plus` (FROMHALO / addSlice) — send the overflow plane of a
+  padded deposition block to the + neighbor and add it into their first
+  plane.
+
+Both are applied dimension-by-dimension; ordering makes corner
+contributions flow exactly like the reference's sequential gHaloOpDim
+sweeps.  CIC support is one cell in the + direction only (a particle in
+cell i touches nodes i and i+1), so only +1 planes are exchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _perm(n: int, shift: int):
+    """Cyclic permutation pairs (src, dst) shifting data by `shift`."""
+    return [(i, (i + shift) % n) for i in range(n)]
+
+
+def pad_plus(block: jax.Array, axes: Sequence[str], n_sub: Sequence[int]) -> jax.Array:
+    """Append one ghost plane at the high end of every spatial dim, filled
+    with the + neighbor's plane 0.  block: (*t[, C]).  Returns (*t+1[, C]).
+
+    Done sequentially per dim so the sent slice already carries the ghost
+    planes of previously-processed dims — corners arrive correctly.
+    """
+    for d, (ax, n) in enumerate(zip(axes, n_sub)):
+        first = lax.slice_in_dim(block, 0, 1, axis=d)
+        if n > 1:
+            # receive plane 0 of the +1 neighbor == send ours to -1
+            ghost = lax.ppermute(first, ax, _perm(n, -1))
+        else:
+            ghost = first                     # self-wrap (periodic)
+        block = jnp.concatenate([block, ghost], axis=d)
+    return block
+
+
+def fold_plus(block: jax.Array, axes: Sequence[str], n_sub: Sequence[int]) -> jax.Array:
+    """Deposition halo-add: block has one overflow plane at the high end of
+    every spatial dim (shape *t+1[, C]); fold each overflow plane into the
+    + neighbor's plane 0 and drop it.  Returns (*t[, C])."""
+    for d, (ax, n) in enumerate(zip(axes, n_sub)):
+        t = block.shape[d] - 1
+        body = lax.slice_in_dim(block, 0, t, axis=d)
+        over = lax.slice_in_dim(block, t, t + 1, axis=d)
+        if n > 1:
+            over = lax.ppermute(over, ax, _perm(n, 1))
+        first = lax.slice_in_dim(body, 0, 1, axis=d) + over
+        rest = lax.slice_in_dim(body, 1, t, axis=d)
+        block = jnp.concatenate([first, rest], axis=d)
+    return block

@@ -1,0 +1,247 @@
+"""The sharded PIC step: domain decomposition over a device mesh.
+
+This is the TPU-native equivalent of everything MPI in the reference
+(SURVEY.md §2 'Parallelism strategies'): the deck's ``grid:nSubdomains``
+Cartesian decomposition becomes a ``jax.sharding.Mesh``; grid halo
+exchanges become ``lax.ppermute`` pairs (parallel.halo); particle
+migration becomes fixed-capacity neighbor permutes (parallel.migrate);
+``MPI_Allreduce`` energy sums become ``lax.psum``.
+
+Step structure (one jitted function, mirrors src/main.c:197-274):
+
+    shard_map:  move (unwrapped) -> migrate -> local CIC deposit into a
+                (+1)-padded block -> fold_plus halo-add        [particle ops]
+    global:     solve(rho) -> E = -grad(phi)        [XLA partitions the FFT
+                / stencil collectives automatically from the shardings]
+    shard_map:  pad_plus ghost fetch -> CIC gather -> kick -> psum(KE)
+
+Particles live in per-device capacity slabs of the global (S, cap, D)
+arrays, capacity axis sharded over all mesh axes jointly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.7 stable API
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _sm
+
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+from ..config import PincConfig
+from ..grid import gradient, potential_energy
+from ..ops import cic
+from ..ops import pusher as pu
+from ..population import Particles, SpeciesParams
+from ..simulation import Diagnostics, Simulation, StepOutput
+from ..utils.logging import STATUS, WARNING, msg
+from .halo import fold_plus, pad_plus
+from .mesh import MeshCtx, make_mesh, subdomain_offset
+from .migrate import migrate
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class ShardedSimulation(Simulation):
+    """Simulation over a device mesh.  Same deck, same physics — the
+    single-block Simulation is the nSubdomains=1 special case."""
+
+    def __init__(self, cfg: PincConfig, seed: int = 1, devices=None):
+        # Build the single-device setup first (methods, units, global ICs).
+        super().__init__(cfg, seed=seed)
+        nd = self.spec.n_dims
+        self.ctx = make_mesh(self.spec.n_subdomains, self.spec.true_size,
+                             devices=devices)
+        ndev = self.ctx.n_devices
+        cap_global = self.particles.capacity
+        self.cap_local = _round_up(math.ceil(cap_global / ndev), 8)
+        K_default = max(64, self.cap_local // 8)
+        self.migration_cap = min(
+            cfg.get_int("parallel:migrationcap", K_default), self.cap_local)
+        self.particles = self._distribute(self.particles)
+        self._step_jit = jax.jit(self._sharded_step, donate_argnums=(0,))
+        self._half_kick_jit = jax.jit(self._sharded_half_kick,
+                                      donate_argnums=(0,))
+
+    # ------------------------------------------------------------ placement
+    def _distribute(self, p: Particles) -> Particles:
+        """Host-side: partition the globally-initialized population into
+        per-device slabs ordered by mesh linearization (the reference's
+        subdomain filtering in pPosUniform/pPosLattice,
+        src/population.c:139-160)."""
+        ctx = self.ctx
+        ndev = ctx.n_devices
+        S, cap, D = p.cell.shape
+        capL = self.cap_local
+        cell = np.asarray(p.cell)
+        frac = np.asarray(p.frac)
+        vel = np.asarray(p.vel)
+        alive = np.asarray(p.alive)
+
+        t = np.asarray(ctx.true_size)
+        nsub = np.asarray(ctx.n_subdomains)
+        # device linear index per particle (mixed radix, last dim fastest
+        # in mesh order: index = ((cx*n1)+cy)*n2+cz)
+        coords = cell // t            # (S, cap, D)
+        lin = np.zeros((S, cap), dtype=np.int64)
+        for d in range(D):
+            lin = lin * nsub[d] + coords[..., d]
+
+        out_cell = np.zeros((S, ndev * capL, D), cell.dtype)
+        out_frac = np.zeros((S, ndev * capL, D), frac.dtype)
+        out_vel = np.zeros((S, ndev * capL, D), vel.dtype)
+        out_alive = np.zeros((S, ndev * capL), bool)
+        for s in range(S):
+            for dev in range(ndev):
+                sel = alive[s] & (lin[s] == dev)
+                n = int(sel.sum())
+                if n > capL:
+                    raise ValueError(
+                        f"species {s}: {n} particles for device {dev} exceed "
+                        f"local capacity {capL}; raise population:nAlloc")
+                base = dev * capL
+                out_cell[s, base:base + n] = cell[s][sel]
+                out_frac[s, base:base + n] = frac[s][sel]
+                out_vel[s, base:base + n] = vel[s][sel]
+                out_alive[s, base:base + n] = True
+
+        sh3 = self.ctx.sharding(self.ctx.particle_spec(True))
+        sh2 = self.ctx.sharding(self.ctx.particle_spec(False))
+        return Particles(
+            cell=jax.device_put(jnp.asarray(out_cell), sh3),
+            frac=jax.device_put(jnp.asarray(out_frac), sh3),
+            vel=jax.device_put(jnp.asarray(out_vel), sh3),
+            alive=jax.device_put(jnp.asarray(out_alive), sh2))
+
+    # ---------------------------------------------------------- local parts
+    def _local_deposit(self, p: Particles) -> Tuple[Particles, jax.Array, jax.Array]:
+        """Per-device: move (unwrapped), migrate, deposit with halo fold."""
+        ctx = self.ctx
+        offset = subdomain_offset(ctx)
+        p = pu.move(p, ctx.global_size, periodic=False)     # unwrapped
+        p, lost = migrate(p, ctx, offset, self.migration_cap)
+        S, capL, D = p.cell.shape
+        lcell = (p.cell - offset).reshape(S * capL, D)
+        frac = p.frac.reshape(S * capL, D)
+        q = jnp.broadcast_to(self.params.charge[:, None], (S, capL))
+        value = jnp.where(p.alive, q, 0.0).reshape(S * capL)
+        padded = tuple(t + 1 for t in ctx.true_size)
+        rho_pad = cic.scatter_cic(padded, lcell, frac, value,
+                                  periodic=False, dtype=self.spec.dtype)
+        rho = fold_plus(rho_pad, ctx.axes, ctx.n_subdomains)
+        return p, rho, lost
+
+    def _local_kick(self, p: Particles, E_local: jax.Array,
+                    half: bool) -> Tuple[Particles, jax.Array]:
+        ctx = self.ctx
+        offset = subdomain_offset(ctx)
+        E_pad = pad_plus(E_local, ctx.axes, ctx.n_subdomains)
+        if half:
+            E_pad = 0.5 * E_pad
+        lp = Particles(cell=p.cell - offset, frac=p.frac, vel=p.vel,
+                       alive=p.alive)
+        lp2, ke = self.acc(lp, self.params, E_pad, periodic=False)
+        for ax in ctx.axes:
+            ke = lax.psum(ke, ax)
+        out = Particles(cell=p.cell, frac=p.frac, vel=lp2.vel, alive=p.alive)
+        return out, ke
+
+    # ------------------------------------------------------------ the step
+    def _sharded_pipeline(self, particles: Particles, do_move: bool,
+                          half: bool) -> StepOutput:
+        ctx = self.ctx
+        p3, p2 = ctx.particle_spec(True), ctx.particle_spec(False)
+        pspec = Particles(cell=p3, frac=p3, vel=p3, alive=p2)
+        fspec = ctx.field_spec()
+
+        if do_move:
+            deposit = _shard_map(self._local_deposit, ctx.mesh,
+                                 in_specs=(pspec,),
+                                 out_specs=(pspec, fspec, P()))
+        else:
+            def no_move(p):
+                ctx_ = self.ctx
+                offset = subdomain_offset(ctx_)
+                S, capL, D = p.cell.shape
+                lcell = (p.cell - offset).reshape(S * capL, D)
+                frac = p.frac.reshape(S * capL, D)
+                q = jnp.broadcast_to(self.params.charge[:, None], (S, capL))
+                value = jnp.where(p.alive, q, 0.0).reshape(S * capL)
+                padded = tuple(t + 1 for t in ctx_.true_size)
+                rho_pad = cic.scatter_cic(padded, lcell, frac, value,
+                                          periodic=False,
+                                          dtype=self.spec.dtype)
+                rho = fold_plus(rho_pad, ctx_.axes, ctx_.n_subdomains)
+                return p, rho, jnp.zeros((), jnp.int32)
+            deposit = _shard_map(no_move, ctx.mesh, in_specs=(pspec,),
+                                 out_specs=(pspec, fspec, P()))
+
+        particles, rho, lost = deposit(particles)
+        from ..solvers.spectral import SpectralSolver
+        if isinstance(self.solver, SpectralSolver):
+            # XLA cannot yet partition an FFT over these meshes (the CPU
+            # backend rejects the partitioner's layouts outright): gather
+            # rho and run the (cheap, O(N log N)) transform replicated on
+            # every device inside a manual shard_map — whose module gets
+            # canonical layouts — then re-shard.  Multigrid is the fully
+            # sharded solver path.
+            rep = P(*(None,) * len(ctx.axes))
+            rho_rep = lax.with_sharding_constraint(rho, ctx.sharding(rep))
+            phi = _shard_map(self.solver, ctx.mesh,
+                             in_specs=(rep,), out_specs=rep)(rho_rep)
+        else:
+            phi = self.solver(rho)
+        phi = lax.with_sharding_constraint(phi, ctx.sharding(fspec))
+        E = -gradient(phi)
+
+        kick = _shard_map(partial(self._local_kick, half=half), ctx.mesh,
+                          in_specs=(pspec, ctx.field_spec(n_values=1)),
+                          out_specs=(pspec, P()))
+        particles, ke = kick(particles, E)
+        pe = potential_energy(rho, phi)
+        return StepOutput(particles, rho, phi, E,
+                          Diagnostics(kin_energy=ke, pot_energy=pe,
+                                      n_lost=lost))
+
+    def _sharded_half_kick(self, particles: Particles) -> StepOutput:
+        return self._sharded_pipeline(particles, do_move=False, half=True)
+
+    def _sharded_step(self, particles: Particles) -> StepOutput:
+        return self._sharded_pipeline(particles, do_move=True, half=False)
+
+    def make_scan_steps(self, n: int):
+        def body(particles, _):
+            out = self._sharded_step(particles)
+            return out.particles, (out.diag.kin_energy, out.diag.pot_energy)
+
+        @jax.jit
+        def run_n(particles):
+            return jax.lax.scan(body, particles, None, length=n)
+        return run_n
+
+
+def make_simulation(cfg: PincConfig, seed: int = 1, devices=None) -> Simulation:
+    """Factory: sharded when the deck asks for >1 subdomain and devices
+    allow, single-block otherwise (the mpinc.sh np decision, mpinc.sh:20-29)."""
+    from ..config import required_np
+    np_needed = required_np(cfg)
+    if np_needed > 1:
+        return ShardedSimulation(cfg, seed=seed, devices=devices)
+    return Simulation(cfg, seed=seed)

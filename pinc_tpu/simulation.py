@@ -45,6 +45,10 @@ from .solvers import multigrid as _multigrid    # noqa: F401
 class Diagnostics:
     kin_energy: jax.Array   # (S,) time-centered KE per species
     pot_energy: jax.Array   # () total field energy 0.5*sum(rho*phi)
+    # particles dropped by migration-buffer overflow this step (the
+    # reference's documented unsafe spot, src/pusher.c:776,913 — here it
+    # is counted and reported instead of corrupting memory)
+    n_lost: jax.Array
 
 
 @jax.tree_util.register_dataclass
@@ -94,7 +98,8 @@ class Simulation:
                                  periodic=self.spec.periodic)
         pe = potential_energy(rho, phi)
         return StepOutput(particles, rho, phi, E,
-                          Diagnostics(kin_energy=ke, pot_energy=pe))
+                          Diagnostics(kin_energy=ke, pot_energy=pe,
+                                      n_lost=jnp.zeros((), jnp.int32)))
 
     def _step(self, particles: Particles) -> StepOutput:
         """One full leapfrog step — the body of the reference time loop
@@ -107,7 +112,8 @@ class Simulation:
                                  periodic=self.spec.periodic)
         pe = potential_energy(rho, phi)
         return StepOutput(particles, rho, phi, E,
-                          Diagnostics(kin_energy=ke, pot_energy=pe))
+                          Diagnostics(kin_energy=ke, pot_energy=pe,
+                                      n_lost=jnp.zeros((), jnp.int32)))
 
     # ---------------------------------------------------------------- scan
     def make_scan_steps(self, n: int):
@@ -138,11 +144,17 @@ class Simulation:
         pe_hist: List[float] = [float(out.diag.pot_energy)]
 
         particles = out.particles
+        total_lost = 0
         for n in range(1, self.n_time_steps + 1):
             out = self._step_jit(particles)
             particles = out.particles
             ke = np.asarray(out.diag.kin_energy)
             pe = float(out.diag.pot_energy)
+            lost = int(out.diag.n_lost)
+            if lost:
+                total_lost += lost
+                msg(WARNING, "step %d: %d particle(s) dropped by migration "
+                    "buffer overflow (raise parallel:migrationCap)", n, lost)
             ke_hist.append(ke)
             pe_hist.append(pe)
             if writer is not None:
