@@ -51,6 +51,32 @@ def move(p: Particles, L: Sequence[int], periodic: bool = True) -> Particles:
     return Particles(cell=cell, frac=frac, vel=p.vel, alive=p.alive)
 
 
+def reflect(p: Particles, L: Sequence[int]) -> Particles:
+    """Elastic specular reflection at non-periodic walls: the physical
+    domain is [0, L-1] (node extent); positions fold back and the normal
+    velocity flips.  (The reference declares pReflect but leaves it
+    unimplemented, src/population.c:468-495 — bounded runs there rely on
+    objects absorbing everything; reflection is the sane default for
+    plain Dirichlet/Neumann walls.)"""
+    hi = jnp.asarray([l - 1 for l in L], dtype=p.frac.dtype)
+    pos = p.cell.astype(p.frac.dtype) + p.frac
+    # fold into [0, 2*hi) then reflect the upper half — handles multiple
+    # bounces in one step
+    period = 2.0 * hi
+    pos_m = jnp.mod(pos, period)
+    over = pos_m > hi
+    pos_r = jnp.where(over, period - pos_m, pos_m)
+    # velocity flips when the total reflection count is odd
+    n_folds = jnp.floor(pos / hi).astype(jnp.int32)
+    flip = (n_folds % 2) != 0
+    vel = jnp.where(flip, -p.vel, p.vel)
+    cell = jnp.floor(pos_r).astype(p.cell.dtype)
+    frac = pos_r - cell.astype(p.frac.dtype)
+    cell = jnp.clip(cell, 0, jnp.asarray([l - 2 for l in L], dtype=p.cell.dtype))
+    frac = jnp.where(cell.astype(p.frac.dtype) + frac > hi, 1.0, frac)
+    return Particles(cell=cell, frac=frac, vel=vel, alive=p.alive)
+
+
 # ---------------------------------------------------------------------------
 # Accelerators
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bc import BCSpec, gradient_bc
 from .config import PincConfig
 from .grid import GridSpec, gradient, potential_energy
 from .population import Particles, SpeciesParams, initialize
@@ -77,6 +78,7 @@ class Simulation:
                                         default="puExtractEmigrantsND")
         self.solver = SOLVERS.select(cfg, "methods:poisson")
 
+        self.bc = BCSpec.from_config(cfg)
         self.particles, self.params = initialize(cfg, self.spec, seed=seed)
         self.n_time_steps = cfg.get_int("time:ntimesteps")
         self._step_jit = jax.jit(self._step, donate_argnums=(0,))
@@ -87,7 +89,10 @@ class Simulation:
         rho = self.distr(particles, self.params, self.spec.global_size,
                          periodic=self.spec.periodic, dtype=self.spec.dtype)
         phi = self.solver(rho)
-        E = -gradient(phi)
+        if self.spec.periodic:
+            E = -gradient(phi)
+        else:
+            E = -gradient_bc(phi, self.bc)
         return rho, phi, E
 
     def _half_kick(self, particles: Particles) -> StepOutput:
@@ -106,6 +111,9 @@ class Simulation:
         (src/main.c:197-274), objects elided (see objects.py)."""
         particles = _pusher_ops.move(particles, self.spec.global_size,
                                      periodic=self.spec.periodic)
+        if not self.spec.periodic:
+            # bounded domain: specular reflection at the walls
+            particles = _pusher_ops.reflect(particles, self.spec.global_size)
         particles = self.migrate(particles)
         rho, phi, E = self._fields_from_particles(particles)
         particles, ke = self.acc(particles, self.params, E,
