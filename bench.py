@@ -112,7 +112,7 @@ def main():
     log(f"device: {dev} ({dev.platform})")
     on_tpu = dev.platform != "cpu"
     grid_n = 128 if on_tpu else 32
-    ppc = 32 if on_tpu else 4
+    ppc = 16 if on_tpu else 4
     steps = 20 if on_tpu else 5
 
     solver_ms = bench_solver(grid_n=grid_n, reps=10 if on_tpu else 2)

@@ -69,6 +69,10 @@ class ShardedSimulation(Simulation):
         nd = self.spec.n_dims
         self.ctx = make_mesh(self.spec.n_subdomains, self.spec.true_size,
                              devices=devices)
+        if self.objects is not None:
+            raise NotImplementedError(
+                "embedded objects are not yet supported on the sharded "
+                "path; run object decks with grid:nSubdomains=1")
         ndev = self.ctx.n_devices
         cap_global = self.particles.capacity
         self.cap_local = _round_up(math.ceil(cap_global / ndev), 8)
@@ -223,17 +227,20 @@ class ShardedSimulation(Simulation):
     def _sharded_half_kick(self, particles: Particles) -> StepOutput:
         return self._sharded_pipeline(particles, do_move=False, half=True)
 
-    def _sharded_step(self, particles: Particles) -> StepOutput:
+    def _sharded_step(self, particles: Particles,
+                      rho_obj=None) -> StepOutput:
         return self._sharded_pipeline(particles, do_move=True, half=False)
 
     def make_scan_steps(self, n: int):
-        def body(particles, _):
-            out = self._sharded_step(particles)
-            return out.particles, (out.diag.kin_energy, out.diag.pot_energy)
+        def body(carry, _):
+            particles, rho_obj = carry
+            out = self._sharded_step(particles, rho_obj)
+            return ((out.particles, out.rho_obj),
+                    (out.diag.kin_energy, out.diag.pot_energy))
 
         @jax.jit
-        def run_n(particles):
-            return jax.lax.scan(body, particles, None, length=n)
+        def run_n(particles, rho_obj=None):
+            return jax.lax.scan(body, (particles, rho_obj), None, length=n)
         return run_n
 
 

@@ -60,6 +60,13 @@ class StepOutput:
     phi: jax.Array
     E: jax.Array
     diag: Diagnostics
+    # persistent object surface charge (None when the deck has no objects);
+    # accumulates absorbed-particle charge across steps like the
+    # reference's rhoObj grid (src/main.c:222, object.c:460-515)
+    rho_obj: Optional[jax.Array] = None
+    # equipotential value per object from the capacitance application
+    # (the "Potential-check" STATUS at src/object.c:338)
+    obj_potential: Optional[jax.Array] = None
 
 
 class Simulation:
@@ -81,7 +88,13 @@ class Simulation:
         self.bc = BCSpec.from_config(cfg)
         self.particles, self.params = initialize(cfg, self.spec, seed=seed)
         self.n_time_steps = cfg.get_int("time:ntimesteps")
-        self._step_jit = jax.jit(self._step, donate_argnums=(0,))
+
+        from . import objects as _objects
+        self.objects = _objects.from_config(cfg, self.spec, self.solver)
+        self.rho_obj = (self.spec.zeros() if self.objects is not None
+                        else None)
+
+        self._step_jit = jax.jit(self._step, donate_argnums=(0, 1))
         self._half_kick_jit = jax.jit(self._half_kick, donate_argnums=(0,))
 
     # ----------------------------------------------------------------- step
@@ -96,45 +109,76 @@ class Simulation:
         return rho, phi, E
 
     def _half_kick(self, particles: Particles) -> StepOutput:
-        """Initialization: solve the initial field and advance velocities a
-        half step back (src/main.c:170-186: gMul(E,0.5); acc; gMul(E,2))."""
+        """Initialization: cull particles inside objects, solve the initial
+        field and advance velocities a half step back
+        (src/main.c:161-186: oCollectObjectCharge with zeroed rhoObj, then
+        gMul(E,0.5); acc; gMul(E,2))."""
+        rho_obj = None
+        obj_phi = None
+        if self.objects is not None:
+            particles, _ = self.objects.collect_charge(
+                particles, self.params, self.spec.zeros())
+            rho_obj = self.spec.zeros()
         rho, phi, E = self._fields_from_particles(particles)
         particles, ke = self.acc(particles, self.params, 0.5 * E,
                                  periodic=self.spec.periodic)
         pe = potential_energy(rho, phi)
         return StepOutput(particles, rho, phi, E,
                           Diagnostics(kin_energy=ke, pot_energy=pe,
-                                      n_lost=jnp.zeros((), jnp.int32)))
+                                      n_lost=jnp.zeros((), jnp.int32)),
+                          rho_obj=rho_obj, obj_potential=obj_phi)
 
-    def _step(self, particles: Particles) -> StepOutput:
+    def _step(self, particles: Particles,
+              rho_obj: Optional[jax.Array] = None) -> StepOutput:
         """One full leapfrog step — the body of the reference time loop
-        (src/main.c:197-274), objects elided (see objects.py)."""
+        (src/main.c:197-274), including the object feedback sequence
+        (collect -> deposit -> rho+=rhoObj -> solve -> capacitance -> solve,
+        src/main.c:222-240)."""
         particles = _pusher_ops.move(particles, self.spec.global_size,
                                      periodic=self.spec.periodic)
         if not self.spec.periodic:
             # bounded domain: specular reflection at the walls
             particles = _pusher_ops.reflect(particles, self.spec.global_size)
         particles = self.migrate(particles)
-        rho, phi, E = self._fields_from_particles(particles)
+
+        obj_phi = None
+        if self.objects is not None:
+            particles, rho_obj = self.objects.collect_charge(
+                particles, self.params, rho_obj)
+            rho = self.distr(particles, self.params, self.spec.global_size,
+                             periodic=self.spec.periodic,
+                             dtype=self.spec.dtype)
+            rho = rho + rho_obj
+            phi = self.solver(rho)
+            rho, obj_phi = self.objects.apply_capacitance(rho, phi)
+            phi = self.solver(rho)          # 2nd solve (src/main.c:240)
+            E = (-gradient(phi) if self.spec.periodic
+                 else -gradient_bc(phi, self.bc))
+        else:
+            rho, phi, E = self._fields_from_particles(particles)
+
         particles, ke = self.acc(particles, self.params, E,
                                  periodic=self.spec.periodic)
         pe = potential_energy(rho, phi)
         return StepOutput(particles, rho, phi, E,
                           Diagnostics(kin_energy=ke, pot_energy=pe,
-                                      n_lost=jnp.zeros((), jnp.int32)))
+                                      n_lost=jnp.zeros((), jnp.int32)),
+                          rho_obj=rho_obj, obj_potential=obj_phi)
 
     # ---------------------------------------------------------------- scan
     def make_scan_steps(self, n: int):
         """Compile an n-step inner loop with lax.scan: returns
-        (particles -> (particles, stacked (ke, pe))) for benchmarking and
-        IO-free runs."""
-        def body(particles, _):
-            out = self._step(particles)
-            return out.particles, (out.diag.kin_energy, out.diag.pot_energy)
+        ((particles, rho_obj) -> ((particles, rho_obj), stacked (ke, pe)))
+        for benchmarking and IO-free runs."""
+        def body(carry, _):
+            particles, rho_obj = carry
+            out = self._step(particles, rho_obj)
+            return ((out.particles, out.rho_obj),
+                    (out.diag.kin_energy, out.diag.pot_energy))
 
         @jax.jit
-        def run_n(particles):
-            return jax.lax.scan(body, particles, None, length=n)
+        def run_n(particles, rho_obj=None):
+            return jax.lax.scan(body, (particles, rho_obj), None, length=n)
         return run_n
 
     # ----------------------------------------------------------------- run
@@ -152,10 +196,12 @@ class Simulation:
         pe_hist: List[float] = [float(out.diag.pot_energy)]
 
         particles = out.particles
+        rho_obj = out.rho_obj
         total_lost = 0
         for n in range(1, self.n_time_steps + 1):
-            out = self._step_jit(particles)
+            out = self._step_jit(particles, rho_obj)
             particles = out.particles
+            rho_obj = out.rho_obj
             ke = np.asarray(out.diag.kin_energy)
             pe = float(out.diag.pot_energy)
             lost = int(out.diag.n_lost)
@@ -171,11 +217,20 @@ class Simulation:
             if progress_every and n % progress_every == 0:
                 msg(STATUS, "Computing time-step %i (KE=%g PE=%g)",
                     n, ke.sum(), pe)
+                if out.obj_potential is not None:
+                    for a, pc in enumerate(np.asarray(out.obj_potential)):
+                        # "Potential-check" STATUS, src/object.c:338
+                        msg(STATUS, "Potential-check for object %d : %f",
+                            a, pc)
         jax.block_until_ready(particles.cell)
         wall = time.monotonic() - t_start
         msg(TIMER, "Time spent: %f s (%d steps)", wall, self.n_time_steps)
 
         self.particles = particles
+        self.last_rho_obj = (np.asarray(rho_obj) if rho_obj is not None
+                             else None)
+        self.last_obj_potential = (np.asarray(out.obj_potential)
+                                   if out.obj_potential is not None else None)
         return {
             "kinetic": np.stack(ke_hist),            # (T+1, S)
             "potential": np.asarray(pe_hist),        # (T+1,)
