@@ -67,13 +67,13 @@ migrate = puExtractEmigrantsND
 
     run_n = sim.make_scan_steps(steps)
     t0 = time.monotonic()
-    p, _ = run_n(sim.particles)
+    (p, rho_obj), _ = run_n(sim.particles)
     jax.block_until_ready(p.cell)
     compile_time = time.monotonic() - t0
     log(f"compile+first run: {compile_time:.1f}s")
 
     t0 = time.monotonic()
-    p, (ke, pe) = run_n(p)
+    (p, rho_obj), (ke, pe) = run_n(p, rho_obj)
     jax.block_until_ready(p.cell)
     wall = time.monotonic() - t0
     psteps = n_particles * steps / wall
