@@ -94,6 +94,19 @@ class PincConfig:
         return cfg
 
     def read_file(self, path: str | Path) -> None:
+        # prefer the native C++ parser (pinc_tpu/native/iniparser.cpp, the
+        # equivalent of the reference's vendored iniparser); identical
+        # semantics, Python fallback when no compiler is available
+        try:
+            from . import native
+            entries = native.parse_ini_native(str(path))
+        except FileNotFoundError:
+            raise
+        except Exception:
+            entries = None
+        if entries is not None:
+            self._d.update(entries)
+            return
         text = Path(path).read_text()
         self._parse(text.splitlines())
 

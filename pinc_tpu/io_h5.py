@@ -152,13 +152,30 @@ class OutputWriter:
         self.write_fields = cfg.get_bool("files:writefields", True)
         self.write_pop = cfg.get_bool("files:writepop", True)
         u = sim.units
+        self.units = u
+
+        # async mode: snapshots go to the native background spooler and are
+        # converted to the standard .h5 layout at close (files:async=true)
+        self.spool = None
+        if cfg.get_bool("files:async", False):
+            try:
+                from .spool import SpoolWriter
+                p = h5_path(cfg, "snapshots", "spool")
+                self.spool_path = p.with_name(p.name.replace(".spool.h5",
+                                                             ".spool"))
+                self.spool = SpoolWriter(self.spool_path)
+            except Exception as e:  # no compiler: fall back to sync writes
+                from .utils.logging import WARNING, msg
+                msg(WARNING, "files:async requested but native spooler "
+                    "unavailable (%s); writing synchronously", e)
+
         self.grids = {}
-        if self.write_fields:
+        if self.write_fields and self.spool is None:
             for name in ("rho", "phi", "E"):
                 self.grids[name] = GridFile(cfg, name, self.n_dims,
                                             axis_denorm=u.length, denorm=1.0)
         self.pop: Optional[PopFile] = None
-        if self.write_pop:
+        if self.write_pop and self.spool is None:
             ns = sim.params.charge.shape[0]
             self.pop = PopFile(cfg, "pop", ns, pos_denorm=u.length,
                                vel_denorm=u.velocity)
@@ -172,6 +189,21 @@ class OutputWriter:
 
     def write_step(self, n: int, out) -> None:
         if self.every and n % self.every != 0:
+            return
+        if self.spool is not None:
+            if self.write_fields:
+                self.spool.write("rho", n, np.asarray(out.rho))
+                self.spool.write("phi", n, np.asarray(out.phi))
+                self.spool.write("E", n, np.asarray(out.E))
+            if self.write_pop:
+                p = out.particles
+                pos = np.asarray(p.pos())
+                vel = np.asarray(p.vel)
+                alive = np.asarray(p.alive)
+                for s in range(pos.shape[0]):
+                    m = alive[s]
+                    self.spool.write(f"pop/pos/{s}", n, pos[s][m])
+                    self.spool.write(f"pop/vel/{s}", n - 0.5, vel[s][m])
             return
         if self.write_fields:
             self.grids["rho"].write(n, np.asarray(out.rho))
@@ -197,3 +229,9 @@ class OutputWriter:
         if self.pop is not None:
             self.pop.close()
         self.history.close()
+        if self.spool is not None:
+            from .spool import convert
+            n = self.spool.close()
+            from .utils.logging import STATUS, msg
+            msg(STATUS, "spool closed (%d records); converting to .h5", n)
+            convert(self.spool_path, self.cfg, self.n_dims, self.units)

@@ -194,6 +194,124 @@ def initialize(cfg: PincConfig, spec: GridSpec, seed: int = 1) -> Tuple[Particle
 
 
 # ---------------------------------------------------------------------------
+# Device-side initial conditions — for productions-scale populations the
+# host path above (numpy + host->device transfer of multi-GB arrays) is the
+# setup bottleneck; this builds the same statistical ICs entirely on device.
+# ---------------------------------------------------------------------------
+
+def initialize_device(cfg: PincConfig, spec: GridSpec,
+                      seed: int = 1) -> Tuple[Particles, SpeciesParams]:
+    """On-device initialization: exactly nParticles/V particles per cell on
+    a per-cell sub-lattice (an equivalent uniform lattice to pPosLattice,
+    exact in integer arithmetic at any population size), Maxwellian
+    velocities via jax.random, optional sinusoidal perturbation.
+
+    Selected automatically by ``initialize_auto`` for large populations or
+    explicitly with ``population:icDevice = true``.
+    """
+    nd = spec.n_dims
+    ns = cfg.get_int("population:nspecies")
+    n_particles = [int(v) for v in cfg.get_double_arr("population:nparticles", ns)]
+    n_alloc_key = "population:nalloc" if "population:nalloc" in cfg else "population:nparticles"
+    n_alloc = [int(v) for v in cfg.get_double_arr(n_alloc_key, ns)]
+    cap = max(max(n_alloc), max(n_particles))
+
+    charge = cfg.get_double_arr("population:charge", ns)
+    mass = cfg.get_double_arr("population:mass", ns)
+    vth = (cfg.get_double_arr("population:thermalvelocity", ns)
+           if "population:thermalvelocity" in cfg else [0.0] * ns)
+    drift = (cfg.get_double_arr("population:drift", ns)
+             if "population:drift" in cfg else [0.0] * ns)
+    pert_amp = np.zeros((ns, nd))
+    pert_mode = np.zeros((ns, nd))
+    if "population:perturbamplitude" in cfg:
+        pert_amp = np.asarray(cfg.get_double_arr(
+            "population:perturbamplitude", ns * nd)).reshape(ns, nd)
+    if "population:perturbmode" in cfg:
+        pert_mode = np.asarray(cfg.get_double_arr(
+            "population:perturbmode", ns * nd)).reshape(ns, nd)
+
+    L = spec.global_size
+    V = spec.global_volume
+    dtype = spec.dtype
+    key = jax.random.PRNGKey(seed)
+
+    cells, fracs, vels, alives = [], [], [], []
+    for s in range(ns):
+        n = n_particles[s]
+        if n % V != 0:
+            raise ValueError(
+                f"device init needs nParticles per species divisible by the "
+                f"cell count (got {n} over {V} cells); use 'pc' units")
+        ppc = n // V
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        cell_lin = idx // ppc                 # exact integer cell index
+        slot = idx % ppc
+        # unravel cell_lin -> (cap, D), last dim fastest (C order)
+        cell = []
+        rem = cell_lin
+        for d in range(nd - 1, -1, -1):
+            cell.append(rem % L[d])
+            rem = rem // L[d]
+        cell = jnp.stack(cell[::-1], axis=-1)
+        # sub-lattice offsets within the cell: golden-ratio sequence per
+        # dim — low-discrepancy, deterministic, species-shifted
+        slotf = slot.astype(dtype) + 0.5 + 0.1 * s
+        golden = [0.6180339887, 0.7548776662, 0.8191725134][:nd]
+        frac = jnp.stack([jnp.mod(slotf * g, 1.0).astype(dtype)
+                          for g in golden], axis=-1)
+        if np.any(pert_amp[s] != 0.0):
+            pos = cell.astype(dtype) + frac
+            theta = (2.0 * np.pi) * jnp.asarray(pert_mode[s], dtype) * pos \
+                / jnp.asarray(L, dtype)
+            pos = pos + jnp.asarray(pert_amp[s], dtype) * jnp.cos(theta)
+            pos = jnp.mod(pos, jnp.asarray(L, dtype))
+            cellf = jnp.floor(pos)
+            frac = (pos - cellf).astype(dtype)
+            cell = cellf.astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        if vth[s] != 0.0:
+            vel = (drift[s] + vth[s]
+                   * jax.random.normal(sub, (cap, nd), dtype=dtype))
+        else:
+            vel = jnp.full((cap, nd), float(drift[s]), dtype=dtype)
+        alive = jnp.arange(cap) < n
+        vel = jnp.where(alive[:, None], vel, 0.0)
+        cells.append(cell.astype(jnp.int32))
+        fracs.append(frac)
+        vels.append(vel)
+        alives.append(alive)
+
+    particles = Particles(cell=jnp.stack(cells), frac=jnp.stack(fracs),
+                          vel=jnp.stack(vels), alive=jnp.stack(alives))
+    params = SpeciesParams(charge=jnp.asarray(charge, dtype=dtype),
+                           mass=jnp.asarray(mass, dtype=dtype))
+    return particles, params
+
+
+DEVICE_INIT_THRESHOLD = 4_000_000
+
+
+def initialize_auto(cfg: PincConfig, spec: GridSpec,
+                    seed: int = 1) -> Tuple[Particles, SpeciesParams]:
+    """Host init (exact reference lattice semantics) for small populations;
+    device init beyond DEVICE_INIT_THRESHOLD particles or when
+    ``population:icDevice`` is set."""
+    ns = cfg.get_int("population:nspecies")
+    n_alloc_key = "population:nalloc" if "population:nalloc" in cfg else "population:nparticles"
+    cap = max(int(v) for v in cfg.get_double_arr(n_alloc_key, ns))
+    forced = cfg.get_bool("population:icdevice", False)
+    if forced or ("population:icdevice" not in cfg
+                  and cap > DEVICE_INIT_THRESHOLD
+                  and cfg.get_str("population:icpositions", "lattice") == "lattice"):
+        try:
+            return initialize_device(cfg, spec, seed)
+        except ValueError:
+            pass
+    return initialize(cfg, spec, seed)
+
+
+# ---------------------------------------------------------------------------
 # Energy bookkeeping helpers (pSumKinEnergy / pSumPotEnergy,
 # src/population.c:700-720 — totals are just sums over species here).
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ import numpy as np
 from .bc import BCSpec, gradient_bc
 from .config import PincConfig
 from .grid import GridSpec, gradient, potential_energy
-from .population import Particles, SpeciesParams, initialize
+from .population import Particles, SpeciesParams, initialize, initialize_auto
 from .registry import ACCELERATORS, DISTRIBUTORS, MIGRATORS, RUN_MODES, SOLVERS
 from .units import Units, alloc_and_normalize
 from .utils.logging import STATUS, TIMER, WARNING, msg
@@ -86,7 +86,8 @@ class Simulation:
         self.solver = SOLVERS.select(cfg, "methods:poisson")
 
         self.bc = BCSpec.from_config(cfg)
-        self.particles, self.params = initialize(cfg, self.spec, seed=seed)
+        self.particles, self.params = initialize_auto(cfg, self.spec,
+                                                      seed=seed)
         self.n_time_steps = cfg.get_int("time:ntimesteps")
 
         from . import objects as _objects
