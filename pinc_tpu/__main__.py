@@ -35,6 +35,17 @@ def main(argv=None) -> int:
     # import for registry side effects
     from . import simulation  # noqa: F401
 
+    # [msgfiles] parse dump (reference iniOpen, src/io.c:280-301): record
+    # how the input was parsed, after CLI overrides
+    if any(k.startswith("msgfiles:") for k in cfg.keys()):
+        from .utils.logging import MsgFiles
+        out_dir = cfg.get_str("files:output", "")
+        base = out_dir if out_dir.endswith("/") else "."
+        mf = MsgFiles(cfg, output_dir=base or ".")
+        for key in sorted(cfg.keys()):
+            mf.write("parsedump", "%s = %s\n", key, cfg.get_str(key))
+        mf.close()
+
     run = RUN_MODES.select(cfg, "methods:mode", default="regular")
     msg(STATUS, "PINC-TPU started: %s", ini_path)
     run()

@@ -316,6 +316,30 @@ def initialize_auto(cfg: PincConfig, spec: GridSpec,
 # src/population.c:700-720 — totals are just sums over species here).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Object-collision handlers.  The reference declares these but every one
+# emits a "not yet implemented" warning (pFindCollisionType/pBackscatter/
+# pSecondaryElectron/pReflect/pAdhere, src/population.c:468-495); absorption
+# is the only implemented interaction (objects.collect_charge).  Kept as the
+# same API surface so decks selecting them fail loudly, not silently.
+# ---------------------------------------------------------------------------
+
+def _not_implemented(name: str):
+    def handler(*_args, **_kwargs):
+        raise NotImplementedError(
+            f"{name}: object collision type not implemented (matches the "
+            f"reference stubs, src/population.c:468-495); only absorption "
+            f"is available")
+    handler.__name__ = name
+    return handler
+
+
+backscatter = _not_implemented("pBackscatter")
+secondary_electron = _not_implemented("pSecondaryElectron")
+adhere = _not_implemented("pAdhere")
+find_collision_type = _not_implemented("pFindCollisionType")
+
+
 def kinetic_energy(p: Particles, params: SpeciesParams) -> jax.Array:
     """Instantaneous KE per species: 0.5*m*sum(v^2) over alive particles.
     The production path instead uses the time-centered KE computed inside

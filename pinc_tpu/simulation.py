@@ -35,7 +35,7 @@ from .grid import GridSpec, gradient, potential_energy
 from .population import Particles, SpeciesParams, initialize, initialize_auto
 from .registry import ACCELERATORS, DISTRIBUTORS, MIGRATORS, RUN_MODES, SOLVERS
 from .units import Units, alloc_and_normalize
-from .utils.logging import STATUS, TIMER, WARNING, msg
+from .utils.logging import ERROR, STATUS, TIMER, WARNING, msg
 from .ops import pusher as _pusher_ops          # noqa: F401 (registry side effects)
 from .solvers import spectral as _spectral      # noqa: F401
 from .solvers import multigrid as _multigrid    # noqa: F401
@@ -186,6 +186,35 @@ class Simulation:
                                       n_lost=jnp.zeros((), jnp.int32)),
                           rho_obj=rho_obj, obj_potential=obj_phi)
 
+    def _assert_invariants(self, out: StepOutput, n: int,
+                           max_vel: float) -> None:
+        """pVelAssertMax (CFL-like guard), pPosAssertInLocalFrame,
+        gAssertNeutralGrid — ERROR-exits in the reference, raises here."""
+        p = out.particles
+        alive = np.asarray(p.alive)
+        if max_vel > 0.0:
+            speed = np.abs(np.asarray(p.vel))[alive]
+            if speed.size and speed.max() > max_vel:
+                msg(ERROR, "step %d: particle speed %g exceeds "
+                    "population:maxVel=%g", n, float(speed.max()), max_vel)
+        pos = np.asarray(p.pos())[alive]
+        L = np.asarray(self.spec.global_size)
+        if pos.size and (pos.min() < 0 or (pos >= L).any()):
+            msg(ERROR, "step %d: particle outside the domain "
+                "(min %g, max %g)", n, float(pos.min()), float(pos.max()))
+        if self.spec.periodic and self.objects is None:
+            rho = np.asarray(out.rho)
+            mean = float(rho.mean())
+            # yardstick: the species charges nearly cancel, so the f32
+            # noise floor of the mean is O(eps * gross deposited charge
+            # density), not O(|rho|)
+            gross = float(np.sum(np.abs(np.asarray(self.params.charge))
+                                 * np.asarray(p.counts()))) \
+                / self.spec.global_volume + 1e-30
+            if abs(mean) > 1e-4 * gross:
+                msg(ERROR, "step %d: grid not charge-neutral (mean %g vs "
+                    "gross charge density %g)", n, mean, gross)
+
     # ---------------------------------------------------------------- scan
     def make_scan_steps(self, n: int):
         """Compile an n-step inner loop with lax.scan: returns
@@ -226,6 +255,13 @@ class Simulation:
             particles = out.particles
             rho_obj = out.rho_obj
 
+        # runtime invariant guards (reference pVelAssertMax /
+        # pPosAssertInLocalFrame / gAssertNeutralGrid, src/population.c:316-365,
+        # src/grid.c:862-869, checked at src/main.c:206,219) — host-side
+        # checks enabled by methods:debug
+        debug = self.cfg.get_bool("methods:debug", False)
+        max_vel = self.cfg.get_double("population:maxvel", 0.0)
+
         total_lost = 0
         for n in range(self.start_step + 1, self.n_time_steps + 1):
             out = self._step_jit(particles, rho_obj)
@@ -243,6 +279,8 @@ class Simulation:
             if writer is not None:
                 writer.write_step(n, out)
                 writer.write_energy(n, ke, pe)
+            if debug:
+                self._assert_invariants(out, n, max_vel)
             if self.checkpoint_every and n % self.checkpoint_every == 0:
                 from . import checkpoint as _ckpt
                 _ckpt.save(self.cfg, n, out.particles, out.rho_obj)
