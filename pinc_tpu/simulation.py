@@ -39,6 +39,7 @@ from .utils.logging import ERROR, STATUS, TIMER, WARNING, msg
 from .ops import pusher as _pusher_ops          # noqa: F401 (registry side effects)
 from .solvers import spectral as _spectral      # noqa: F401
 from .solvers import multigrid as _multigrid    # noqa: F401
+from . import pumodes as _pumodes               # noqa: F401
 
 
 @jax.tree_util.register_dataclass
