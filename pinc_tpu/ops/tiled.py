@@ -1,0 +1,270 @@
+"""Tiled (bucketed) particle layout: scatter-free deposition on the MXU.
+
+The irregular-memory heart of PIC is charge deposition — the reference
+walks particles one at a time scattering into 8 nodes (puDistr3D1,
+src/pusher.c:512-572), and the XLA translation (`.at[].add`) lowers to a
+serialized/sort-based scatter that wastes the TPU.  This module removes the
+scatter entirely:
+
+* The grid is split into tiles of ``T^D`` cells; particles live in
+  fixed-capacity per-tile buckets, positions stored *tile-local*.
+* CIC deposition onto a tile's padded node block becomes a **separable
+  dense contraction**:  with per-dim hat weights ``w_d[p, a] =
+  max(0, 1 - |x_d(p) - a|)`` over the P = T+1+2M padded node positions,
+
+      rho_tile[a,b,c] = sum_p q_p wx[p,a] wy[p,b] wz[p,c]
+
+  i.e. one (B x P) x (B x P^2) matmul per tile — MXU work at ~1.5k flops
+  per particle instead of 8 random writes.  Out-of-support positions get
+  weight 0 automatically, so dead slots and recent tile-leavers are safe.
+* The padded tile blocks are folded into the global grid with roll/concat
+  overlap-adds (same sequential-dimension corner flow as the halo ops).
+* The margin M lets particles wander M cells past their tile before their
+  weights would clamp, so re-bucketing (a sort/gather pass) only runs every
+  ``floor(M / v_max)`` steps and amortizes away.
+
+Field gather stays an XLA *gather* (fast on TPU) — done against the padded
+tile blocks with exact tile-local weights.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TileSpec:
+    grid: Tuple[int, ...]       # global nodes per dim
+    T: int                      # tile edge (cells)
+    M: int                      # wander margin (cells)
+    B: int                      # bucket capacity (slots per tile)
+    chunk: int = 32             # tiles per deposition chunk (memory knob)
+
+    @property
+    def n_dims(self) -> int:
+        return len(self.grid)
+
+    @property
+    def ntiles(self) -> Tuple[int, ...]:
+        return tuple(g // self.T for g in self.grid)
+
+    @property
+    def NT(self) -> int:
+        return math.prod(self.ntiles)
+
+    @property
+    def P(self) -> int:
+        return self.T + 1 + 2 * self.M
+
+    def validate(self):
+        for g in self.grid:
+            if g % self.T != 0:
+                raise ValueError(f"grid extent {g} not divisible by tile {self.T}")
+
+
+def tile_origins(ts: TileSpec) -> jax.Array:
+    """(NT, D) global node coordinate of each tile's origin."""
+    axes = [np.arange(n) * ts.T for n in ts.ntiles]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    return jnp.asarray(np.stack([m.ravel() for m in mesh], axis=-1),
+                       dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Bucketing: global positions -> per-tile slots (sort + gather, no scatter)
+# ---------------------------------------------------------------------------
+
+def bucket(pos: jax.Array, vel: jax.Array, alive: jax.Array,
+           ts: TileSpec) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """pos (N, D) float global, vel (N, D), alive (N,).
+    Returns (lpos (NT,B,D), vel (NT,B,D), alive (NT,B), n_dropped)."""
+    D = ts.n_dims
+    nt = ts.ntiles
+    tcoord = jnp.floor(pos / ts.T).astype(jnp.int32)
+    tcoord = jnp.clip(tcoord, 0, jnp.asarray([n - 1 for n in nt]))
+    tid = tcoord[:, 0]
+    for d in range(1, D):
+        tid = tid * nt[d] + tcoord[:, d]
+    tid = jnp.where(alive, tid, ts.NT)            # dead last
+
+    order = jnp.argsort(tid)
+    tid_s = tid[order]
+    pos_s = pos[order]
+    vel_s = vel[order]
+
+    # segment starts via searchsorted; slot (t, b) <- sorted index start[t]+b
+    starts = jnp.searchsorted(tid_s, jnp.arange(ts.NT, dtype=tid_s.dtype))
+    counts = jnp.diff(jnp.concatenate(
+        [starts, jnp.searchsorted(tid_s, jnp.asarray([ts.NT],
+                                                     dtype=tid_s.dtype))]))
+    src = starts[:, None] + jnp.arange(ts.B)[None, :]          # (NT, B)
+    valid = jnp.arange(ts.B)[None, :] < counts[:, None]
+    src_c = jnp.clip(src, 0, pos.shape[0] - 1)
+    lpos = pos_s[src_c] - tile_origins(ts)[:, None, :]
+    lvel = vel_s[src_c]
+    lpos = jnp.where(valid[..., None], lpos, -2.0 * ts.M - 2.0)
+    lvel = jnp.where(valid[..., None], lvel, 0.0)
+    dropped = jnp.sum(jnp.maximum(counts - ts.B, 0))
+    return lpos.astype(jnp.float32), lvel.astype(jnp.float32), valid, dropped
+
+
+def global_positions(lpos: jax.Array, ts: TileSpec) -> jax.Array:
+    """(NT, B, D) local -> global float positions (periodic wrap)."""
+    g = lpos + tile_origins(ts)[:, None, :]
+    return jnp.mod(g, jnp.asarray(ts.grid, dtype=g.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Deposition: separable MXU contraction + overlap-add fold
+# ---------------------------------------------------------------------------
+
+def _hat_weights(x: jax.Array, ts: TileSpec) -> jax.Array:
+    """x (..., ) local coords -> (..., P) CIC hat weights over padded nodes
+    [-M .. T+M]."""
+    a = jnp.arange(-ts.M, ts.T + ts.M + 1, dtype=x.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - a))
+
+
+def _deposit_tiles(lpos: jax.Array, value: jax.Array, ts: TileSpec) -> jax.Array:
+    """lpos (NT, B, D), value (NT, B) -> padded tile densities
+    (NT, P, ..., P).  Chunked over tiles to bound the wyz intermediate."""
+    D = ts.n_dims
+    P = ts.P
+
+    def chunk_fn(args):
+        lp, val = args                      # (C, B, D), (C, B)
+        ws = [_hat_weights(lp[..., d], ts) for d in range(D)]  # D x (C,B,P)
+        ws[0] = ws[0] * val[..., None]
+        if D == 1:
+            return jnp.einsum("cbx->cx", ws[0])
+        if D == 2:
+            return jnp.einsum("cbx,cby->cxy", ws[0], ws[1])
+        wyz = jnp.einsum("cby,cbz->cbyz", ws[1], ws[2]).reshape(
+            lp.shape[0], lp.shape[1], P * P)
+        out = jnp.einsum("cbx,cbk->cxk", ws[0], wyz,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(lp.shape[0], P, P, P)
+
+    NT = ts.NT
+    C = min(ts.chunk, NT)
+    if NT % C != 0:
+        C = math.gcd(NT, C) or 1
+    lp = lpos.reshape(NT // C, C, ts.B, D)
+    val = value.reshape(NT // C, C, ts.B)
+    out = jax.lax.map(chunk_fn, (lp, val))
+    return out.reshape((NT,) + (P,) * D)
+
+
+def _fold_axis(x: jax.Array, tile_ax: int, node_ax: int, ts: TileSpec) -> jax.Array:
+    """Overlap-add one dimension: node range [-M, T+M] -> [0, T) with the
+    M low planes rolled to the previous tile and the M+1 high planes rolled
+    to the next (periodic tile wrap)."""
+    M, T = ts.M, ts.T
+    n = x.shape[node_ax]
+    if M > 0:
+        # low plane j (node offset j-M, global tT+j-M) is the previous
+        # tile's node offset T+j-M, i.e. index T-M+j after dropping lows
+        low = jax.lax.slice_in_dim(x, 0, M, axis=node_ax)
+        x = jax.lax.slice_in_dim(x, M, n, axis=node_ax)   # offsets 0..T+M
+        add = jnp.roll(low, -1, axis=tile_ax)
+        x = x.at[tuple(
+            slice(None) if i != node_ax else slice(T - M, T)
+            for i in range(x.ndim))].add(add)
+        n = T + M + 1
+    # planes at offsets T..T+M are the next tile's offsets 0..M
+    high = jax.lax.slice_in_dim(x, T, n, axis=node_ax)
+    body = jax.lax.slice_in_dim(x, 0, T, axis=node_ax)
+    add = jnp.roll(high, 1, axis=tile_ax)
+    body = body.at[tuple(
+        slice(None) if i != node_ax else slice(0, M + 1)
+        for i in range(x.ndim))].add(add)
+    return body
+
+
+def fold_to_global(tiles: jax.Array, ts: TileSpec) -> jax.Array:
+    """(NT, P..P) padded tile blocks -> (X, Y, ...) global grid."""
+    D = ts.n_dims
+    nt = ts.ntiles
+    x = tiles.reshape(nt + (ts.P,) * D)
+    for d in range(D):
+        x = _fold_axis(x, tile_ax=d, node_ax=D + d, ts=ts)
+    # interleave (n0, n1, .., T, T, ..) -> (n0, T, n1, T, ...)
+    perm = []
+    for d in range(D):
+        perm += [d, D + d]
+    x = jnp.transpose(x, perm)
+    return x.reshape(ts.grid)
+
+
+def deposit_tiled(lpos: jax.Array, alive: jax.Array, charge,
+                  ts: TileSpec) -> jax.Array:
+    """Full tiled CIC deposition for one species: (NT,B,D) local positions
+    -> (grid) charge density."""
+    value = jnp.where(alive, jnp.asarray(charge, jnp.float32), 0.0)
+    tiles = _deposit_tiles(lpos, value, ts)
+    return fold_to_global(tiles, ts)
+
+
+# ---------------------------------------------------------------------------
+# Gather: padded tile blocks + per-particle XLA gather (exact local weights)
+# ---------------------------------------------------------------------------
+
+def pad_tiles(field: jax.Array, ts: TileSpec) -> jax.Array:
+    """Global (grid..., C) or (grid...) -> (NT, P.., [C]) padded blocks
+    (periodic).  Sequential per-dim so corners are correct."""
+    D = ts.n_dims
+    nt = ts.ntiles
+    vec = field.ndim == D + 1
+    C = field.shape[-1] if vec else None
+    shape = []
+    for d in range(D):
+        shape += [nt[d], ts.T]
+    if vec:
+        shape.append(C)
+    x = field.reshape(shape)
+    # bring tile axes first: (n0, n1, .., T0, T1, .. [,C])
+    perm = [2 * d for d in range(D)] + [2 * d + 1 for d in range(D)]
+    if vec:
+        perm.append(2 * D)
+    x = jnp.transpose(x, perm)
+    for d in range(D):
+        node_ax = D + d
+        lo = jax.lax.slice_in_dim(x, x.shape[node_ax] - ts.M,
+                                  x.shape[node_ax], axis=node_ax)
+        lo = jnp.roll(lo, 1, axis=d)
+        hi = jax.lax.slice_in_dim(x, 0, ts.M + 1, axis=node_ax)
+        hi = jnp.roll(hi, -1, axis=d)
+        x = jnp.concatenate([lo, x, hi], axis=node_ax)
+    x = x.reshape((ts.NT,) + (ts.P,) * D + ((C,) if vec else ()))
+    return x
+
+
+def gather_tiled(field_pad: jax.Array, lpos: jax.Array,
+                 ts: TileSpec) -> jax.Array:
+    """field_pad (NT, P.., C); lpos (NT, B, D) -> (NT, B, C).
+    Standard 2^D-corner CIC gather with tile-local indices (idx = floor
+    (lpos) + M, in [0, P-1])."""
+    import itertools
+    D = ts.n_dims
+    base = jnp.floor(lpos).astype(jnp.int32) + ts.M        # (NT,B,D)
+    frac = lpos - jnp.floor(lpos)
+    base = jnp.clip(base, 0, ts.P - 2)
+    rows = jnp.arange(ts.NT, dtype=jnp.int32)[:, None]
+    out = None
+    for offs in itertools.product((0, 1), repeat=D):
+        idx = tuple(base[..., d] + offs[d] for d in range(D))
+        w = None
+        for d, o in enumerate(offs):
+            wd = frac[..., d] if o else 1.0 - frac[..., d]
+            w = wd if w is None else w * wd
+        val = field_pad[(rows,) + idx]                     # (NT,B,C)
+        contrib = w[..., None] * val
+        out = contrib if out is None else out + contrib
+    return out

@@ -246,9 +246,13 @@ class ShardedSimulation(Simulation):
 
 def make_simulation(cfg: PincConfig, seed: int = 1, devices=None) -> Simulation:
     """Factory: sharded when the deck asks for >1 subdomain and devices
-    allow, single-block otherwise (the mpinc.sh np decision, mpinc.sh:20-29)."""
+    allow (the mpinc.sh np decision, mpinc.sh:20-29); tiled layout when
+    methods:layout = tiled; plain single-block otherwise."""
     from ..config import required_np
     np_needed = required_np(cfg)
     if np_needed > 1:
         return ShardedSimulation(cfg, seed=seed, devices=devices)
+    if cfg.get_str("methods:layout", "flat").lower() == "tiled":
+        from ..tiled_sim import TiledSimulation
+        return TiledSimulation(cfg, seed=seed)
     return Simulation(cfg, seed=seed)
