@@ -28,9 +28,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_pic(grid_n=128, ppc=32, steps=20, warmup=2):
+def bench_pic(grid_n=128, ppc=32, steps=20, layout="tiled"):
     from pinc_tpu.config import PincConfig
     from pinc_tpu.simulation import Simulation
+    from pinc_tpu.tiled_sim import TiledSimulation
 
     deck = f"""
 [time]
@@ -57,24 +58,42 @@ poisson = sSolve
 acc = puAcc3D1KE
 distr = puDistr3D1
 migrate = puExtractEmigrantsND
+[tiles]
+tileSize = 8
+margin = 2
+rebucketEvery = 10
 """
     cfg = PincConfig.from_string(deck)
     t0 = time.monotonic()
-    sim = Simulation(cfg, seed=1)
-    n_particles = int(np.asarray(sim.particles.counts()).sum())
-    log(f"setup: {grid_n}^3 grid, {n_particles:,} particles "
-        f"({time.monotonic()-t0:.1f}s)")
+    if layout == "tiled":
+        sim = TiledSimulation(cfg, seed=1)
+        carry = sim.state
+        n_particles = int(np.asarray(sim.state.alive).sum())
+        leaf = lambda c: c.lpos
+    else:
+        sim = Simulation(cfg, seed=1)
+        carry = (sim.particles, None)
+        n_particles = int(np.asarray(sim.particles.counts()).sum())
+        leaf = lambda c: c[0].cell
+    log(f"setup: {grid_n}^3 grid, {n_particles:,} particles, "
+        f"layout={layout} ({time.monotonic()-t0:.1f}s)")
 
     run_n = sim.make_scan_steps(steps)
     t0 = time.monotonic()
-    (p, rho_obj), _ = run_n(sim.particles)
-    jax.block_until_ready(p.cell)
+    if layout == "tiled":
+        carry, _ = run_n(carry)
+    else:
+        carry, _ = run_n(*carry)
+    jax.block_until_ready(leaf(carry))
     compile_time = time.monotonic() - t0
     log(f"compile+first run: {compile_time:.1f}s")
 
     t0 = time.monotonic()
-    (p, rho_obj), (ke, pe) = run_n(p, rho_obj)
-    jax.block_until_ready(p.cell)
+    if layout == "tiled":
+        carry, (ke, pe) = run_n(carry)
+    else:
+        carry, (ke, pe) = run_n(*carry)
+    jax.block_until_ready(leaf(carry))
     wall = time.monotonic() - t0
     psteps = n_particles * steps / wall
     log(f"{steps} steps in {wall:.3f}s -> {psteps:.3e} particle-steps/s "

@@ -246,6 +246,50 @@ def pad_tiles(field: jax.Array, ts: TileSpec) -> jax.Array:
     return x
 
 
+def gather_tiled_mxu(field_pad: jax.Array, lpos: jax.Array,
+                     ts: TileSpec, chunk: int = 4) -> jax.Array:
+    """Dense-contraction gather — the transpose of the deposition matmuls.
+
+    Per-particle XLA gathers lower to near-serial loops on TPU; instead the
+    field at each particle is the separable contraction
+
+        E_p = sum_abc wx[p,a] wy[p,b] wz[p,c] F[a,b,c]
+
+    evaluated dimension-by-dimension on the MXU (~3x the deposit flops,
+    still compute-bound).  Chunked over tiles to bound the (B, P^2, C)
+    intermediate."""
+    D = ts.n_dims
+    P = ts.P
+    C = field_pad.shape[-1]
+    NT = ts.NT
+
+    def chunk_fn(args):
+        lp, F = args                        # (c,B,D), (c,P..P,C)
+        ws = [_hat_weights(lp[..., d], ts) for d in range(D)]
+        if D == 1:
+            return jnp.einsum("cbx,cxv->cbv", ws[0], F,
+                              preferred_element_type=jnp.float32)
+        if D == 2:
+            t = jnp.einsum("cbx,cxyv->cbyv", ws[0], F,
+                           preferred_element_type=jnp.float32)
+            return jnp.einsum("cby,cbyv->cbv", ws[1], t)
+        Ff = F.reshape(F.shape[0], P, P * P * C)
+        t1 = jnp.einsum("cbx,cxk->cbk", ws[0], Ff,
+                        preferred_element_type=jnp.float32)
+        t1 = t1.reshape(t1.shape[0], t1.shape[1], P, P * C)
+        t2 = jnp.einsum("cby,cbyk->cbk", ws[1], t1)
+        t2 = t2.reshape(t2.shape[0], t2.shape[1], P, C)
+        return jnp.einsum("cbz,cbzv->cbv", ws[2], t2)
+
+    c = min(chunk, NT)
+    if NT % c != 0:
+        c = math.gcd(NT, c) or 1
+    lp = lpos.reshape(NT // c, c, ts.B, D)
+    F = field_pad.reshape((NT // c, c) + (P,) * D + (C,))
+    out = jax.lax.map(chunk_fn, (lp, F))
+    return out.reshape(NT, ts.B, C)
+
+
 def gather_tiled(field_pad: jax.Array, lpos: jax.Array,
                  ts: TileSpec) -> jax.Array:
     """field_pad (NT, P.., C); lpos (NT, B, D) -> (NT, B, C).
