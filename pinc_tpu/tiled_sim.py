@@ -65,6 +65,11 @@ class TiledSimulation(Simulation):
         vmax = max(cfg.get_double("population:maxvel", 1.0), 1e-3)
         self.rebucket_every = cfg.get_int("tiles:rebucketevery",
                                           max(1, int(M / vmax)))
+        self._gather_mode = cfg.get_str("tiles:gather", "mxu").lower()
+        default_backend = ("pallas" if (nd == 3 and
+                                        jax.devices()[0].platform != "cpu")
+                           else "xla")
+        self._backend = cfg.get_str("tiles:backend", default_backend).lower()
 
         self.state = self._bucket_all(self.particles)
         self._tstep_jit = jax.jit(self._tiled_step, donate_argnums=(0,))
@@ -117,9 +122,12 @@ class TiledSimulation(Simulation):
     def _fields(self, st: TiledState):
         rho = None
         for s in range(st.lpos.shape[0]):
-            r = tl.deposit_tiled(st.lpos[s], st.alive[s],
-                                 float(np.asarray(self.params.charge)[s]),
-                                 self.ts)
+            q = float(np.asarray(self.params.charge)[s])
+            if self._backend == "pallas":
+                from ..ops import pallas_tiled as ptl
+                r = ptl.deposit_to_grid(st.lpos[s], st.alive[s], q, self.ts)
+            else:
+                r = tl.deposit_tiled(st.lpos[s], st.alive[s], q, self.ts)
             rho = r if rho is None else rho + r
         rho = rho.astype(self.spec.dtype)
         phi = self.solver(rho)
@@ -131,9 +139,21 @@ class TiledSimulation(Simulation):
         if half:
             E_pad = 0.5 * E_pad
         qm = self.params.charge / self.params.mass
+        # dense-contraction gather: the per-particle XLA gather lowers to a
+        # near-serial loop on TPU (measured 315 ms vs 35 ms at 64^3/4.2M);
+        # the pallas kernel additionally keeps the intermediates in VMEM
+        if self._backend == "pallas":
+            from ..ops import pallas_tiled as ptl
+            P = self.ts.P
+            ep5 = E_pad.reshape((self.ts.NT,) + (P,) * 3 + (E.shape[-1],))
+            gather = lambda e, lp, ts: ptl.gather(ep5, lp, ts)
+        elif self._gather_mode == "mxu":
+            gather = tl.gather_tiled_mxu
+        else:
+            gather = tl.gather_tiled
         vels, kes = [], []
         for s in range(st.lpos.shape[0]):
-            Ep = tl.gather_tiled(E_pad, st.lpos[s], self.ts)
+            Ep = gather(E_pad, st.lpos[s], self.ts)
             dv = qm[s] * Ep
             v_dot = jnp.sum(st.vel[s] * (st.vel[s] + dv), axis=-1)
             v_dot = jnp.where(st.alive[s], v_dot, 0.0)
