@@ -3,26 +3,23 @@
 The XLA einsum formulation of tiled deposition/gather (ops/tiled.py)
 round-trips the (B, P^2) separable-weight intermediates through HBM, which
 caps it ~10x below compute speed-of-light.  These kernels fuse the weight
-construction with the contractions entirely in VMEM:
+construction with the contractions entirely in VMEM.
 
-* ``deposit`` — each grid step loads a block of one tile's particles,
-  builds the three hat-weight matrices on the VPU, forms w_y (x) w_z in
-  VMEM and accumulates ``out += wx^T @ wyz`` on the MXU into the tile's
-  (P, P^2) output block (revisited across the particle-grid dimension).
-* ``gather`` — same grid: three chained contractions of the (P, P, P, C)
-  field tile against the hat weights produce the per-particle field with
-  no per-particle memory indexing at all.
+Layout (shaped by Mosaic's (8,128) tiling rules and lane utilization):
+particles live on the *lane* dimension, node offsets on sublanes — the hat
+weight matrices are (P, BBC) with BBC = a 128-multiple column block, built
+as ``relu(1 - |x[None,:] - iota_sublane|)`` on the VPU.  Per grid step the
+kernel processes an (8, BBC) row-block of one tile's coordinates:
+
+* ``deposit``:  out(P, P^2) += W_x(P,BBC) @ kron(W_y, W_z)(P^2, BBC)^T on
+  the MXU, accumulated across the particle-grid dimension.
+* ``gather``:   t1(P^2*C, BBC) = E_tile^T @ W_x, then two broadcast-
+  multiply/sum reductions against W_y and W_z give the per-particle field
+  (C, BBC) — no per-particle memory indexing at all.
 
 HBM traffic is exactly the particle coordinates (+ output), so both
-kernels are compute-bound MXU work.
-
-TPU block-shape rules (last two block dims divisible by (8, 128) or equal
-to the array dims) shape the layout: per-tile coordinate rows are reshaped
-to (NT * B/BBC, BBC) and each kernel step takes an (8, BBC) block — eight
-row-chunks of the *same* tile (PB = 8*BBC particles per step).
-
-Cross-checked against ops/tiled.py and ops/cic.py in interpret mode
-(tests/test_pallas_tiled.py).
+kernels are compute-bound MXU work.  Cross-checked against ops/tiled.py
+in interpret mode (tests/test_pallas_tiled.py).
 """
 
 from __future__ import annotations
@@ -41,25 +38,33 @@ from .tiled import TileSpec
 
 
 def _layout(B: int, target_pb: int = 8192) -> Tuple[int, int]:
-    """Split a tile's B slots into (rows of BBC columns); one kernel step
-    processes 8 rows.  Returns (BBC, grid_j) with B == grid_j * 8 * BBC."""
+    """Split a tile's B slots into rows of BBC columns; one kernel step
+    processes 8 rows (PB = 8*BBC particles).  Returns (BBC, grid_j) with
+    B == grid_j * 8 * BBC."""
     if B % 8 != 0:
         raise ValueError(f"bucket capacity {B} must be a multiple of 8")
     bbc = B // 8
     grid_j = 1
-    # prefer ~target_pb particles per step when B is large
     while bbc % 2 == 0 and bbc > 128 and 8 * bbc > target_pb:
         bbc //= 2
         grid_j *= 2
     return bbc, grid_j
 
 
-def _weights(coords, P: int, M: int):
-    """(PB,) tile-local coords -> (PB, P) CIC hat weights over node offsets
-    [-M .. T+M] (2D iota: TPU requires >=2D)."""
-    nodes = jax.lax.broadcasted_iota(jnp.float32, (coords.shape[0], P),
-                                     1) - float(M)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[:, None] - nodes))
+def _weights_t(row, P: int, M: int):
+    """row (1, BBC) tile-local coords -> (P, BBC) hat weights, node offsets
+    [-M .. T+M] on the sublane axis."""
+    bbc = row.shape[-1]
+    nodes = jax.lax.broadcasted_iota(jnp.int32, (P, bbc), 0)
+    nodes = nodes.astype(jnp.float32) - float(M)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(row - nodes))
+
+
+def _kron_rows(wy, wz, P: int):
+    """(P,BBC),(P,BBC) -> (P*P,BBC): row (y*P+z) = wy[y]*wz[z]."""
+    wy_rep = jnp.repeat(wy, P, axis=0)          # y-major
+    wz_til = jnp.concatenate([wz] * P, axis=0)  # z-minor
+    return wy_rep * wz_til
 
 
 # ---------------------------------------------------------------------------
@@ -71,18 +76,16 @@ def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    pb = x_ref.shape[0] * x_ref.shape[1]
-    x = x_ref[...].reshape(pb)
-    y = y_ref[...].reshape(pb)
-    z = z_ref[...].reshape(pb)
-    val = val_ref[...].reshape(pb)
-    wx = _weights(x, P, M) * val[:, None]
-    wy = _weights(y, P, M)
-    wz = _weights(z, P, M)
-    wyz = (wy[:, :, None] * wz[:, None, :]).reshape(pb, P * P)
-    out_ref[0, :, :] += jax.lax.dot_general(
-        wx, wyz, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    acc = jnp.zeros((P, P * P), jnp.float32)
+    for r in range(x_ref.shape[0]):             # static 8-row unroll
+        wx = _weights_t(x_ref[r:r + 1, :], P, M) * val_ref[r:r + 1, :]
+        wy = _weights_t(y_ref[r:r + 1, :], P, M)
+        wz = _weights_t(z_ref[r:r + 1, :], P, M)
+        wyz = _kron_rows(wy, wz, P)             # (P*P, BBC)
+        acc = acc + jax.lax.dot_general(
+            wx, wyz, (((1,), (1,)), ((), ())),  # contract lanes
+            preferred_element_type=jnp.float32)
+    out_ref[0, :, :] += acc
 
 
 def deposit(lpos: jax.Array, value: jax.Array, ts: TileSpec,
@@ -126,19 +129,21 @@ def deposit_to_grid(lpos, alive, charge, ts: TileSpec,
 # ---------------------------------------------------------------------------
 
 def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C):
-    pb = x_ref.shape[0] * x_ref.shape[1]
-    wx = _weights(x_ref[...].reshape(pb), P, M)
-    wy = _weights(y_ref[...].reshape(pb), P, M)
-    wz = _weights(z_ref[...].reshape(pb), P, M)
     E = e_ref[0, :, :]                           # (P, P*P*C)
-    t1 = jax.lax.dot_general(                    # (PB, P*P*C)
-        wx, E, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    t1 = t1.reshape(pb, P, P * C)
-    t2 = jnp.sum(wy[:, :, None] * t1, axis=1)    # (PB, P*C)
-    t2 = t2.reshape(pb, P, C)
-    t3 = jnp.sum(wz[:, :, None] * t2, axis=1)    # (PB, C)
-    out_ref[0, :, :] = t3.T                      # (C, PB)
+    for r in range(x_ref.shape[0]):              # static 8-row unroll
+        wx = _weights_t(x_ref[r:r + 1, :], P, M)   # (P, BBC)
+        wy = _weights_t(y_ref[r:r + 1, :], P, M)
+        wz = _weights_t(z_ref[r:r + 1, :], P, M)
+        # t1[(y,z,c), b] = sum_x E[x,(y,z,c)] wx[x,b]
+        t1 = jax.lax.dot_general(
+            E, wx, (((0,), (0,)), ((), ())),     # (P*P*C, BBC)
+            preferred_element_type=jnp.float32)
+        bbc = wx.shape[1]
+        t1 = t1.reshape(P, P * C, bbc)
+        t2 = jnp.sum(t1 * wy[:, None, :], axis=0)          # (P*C, BBC)
+        t2 = t2.reshape(P, C, bbc)
+        t3 = jnp.sum(t2 * wz[:, None, :], axis=0)          # (C, BBC)
+        out_ref[0, :, r, :] = t3
 
 
 def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
@@ -150,7 +155,6 @@ def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
     C = field_pad.shape[-1]
     bbc, grid_j = _layout(B)
     rows_per_tile = B // bbc
-    pb = 8 * bbc
 
     def rs(a):
         return a.reshape(NT * rows_per_tile, bbc)
@@ -161,13 +165,16 @@ def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
     E = field_pad.reshape(NT, P, P * P * C)
     out = pl.pallas_call(
         partial(_gather_kernel, P=P, M=ts.M, C=C),
-        out_shape=jax.ShapeDtypeStruct((NT, C, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NT, C, rows_per_tile, bbc),
+                                       jnp.float32),
         grid=(NT, grid_j),
         in_specs=[pin, pin, pin,
                   pl.BlockSpec((1, P, P * P * C), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, C, pb), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((1, C, 8, bbc), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rs(lpos[..., 0]), rs(lpos[..., 1]), rs(lpos[..., 2]), E)
-    return jnp.swapaxes(out, 1, 2)               # (NT, B, C)
+    # (NT, C, rows, bbc) -> (NT, B, C)
+    out = out.reshape(NT, C, B)
+    return jnp.swapaxes(out, 1, 2)

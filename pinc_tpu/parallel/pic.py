@@ -73,6 +73,10 @@ class ShardedSimulation(Simulation):
             raise NotImplementedError(
                 "embedded objects are not yet supported on the sharded "
                 "path; run object decks with grid:nSubdomains=1")
+        if not self.spec.periodic:
+            raise NotImplementedError(
+                "the sharded path currently supports all-PERIODIC "
+                "boundaries; run bounded decks with grid:nSubdomains=1")
         ndev = self.ctx.n_devices
         cap_global = self.particles.capacity
         self.cap_local = _round_up(math.ceil(cap_global / ndev), 8)
