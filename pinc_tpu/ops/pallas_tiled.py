@@ -71,7 +71,7 @@ def _kron_rows(wy, wz, P: int):
 # Deposition
 # ---------------------------------------------------------------------------
 
-def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M):
+def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M, mxu_dtype):
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
@@ -83,15 +83,22 @@ def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M):
         wz = _weights_t(z_ref[r:r + 1, :], P, M)
         wyz = _kron_rows(wy, wz, P)             # (P*P, BBC)
         acc = acc + jax.lax.dot_general(
-            wx, wyz, (((1,), (1,)), ((), ())),  # contract lanes
+            wx.astype(mxu_dtype), wyz.astype(mxu_dtype),
+            (((1,), (1,)), ((), ())),           # contract lanes
             preferred_element_type=jnp.float32)
     out_ref[0, :, :] += acc
 
 
 def deposit(lpos: jax.Array, value: jax.Array, ts: TileSpec,
-            interpret: bool = False) -> jax.Array:
+            interpret: bool = False, mxu_dtype=jnp.float32) -> jax.Array:
     """lpos (NT, B, 3) tile-local f32, value (NT, B) charge*alive ->
-    padded tile densities (NT, P, P*P) f32."""
+    padded tile densities (NT, P, P*P) f32.
+
+    mxu_dtype=bfloat16 halves the VMEM intermediate traffic and doubles
+    the MXU rate; deposit and gather then use IDENTICALLY-rounded weight
+    matrices, so gather stays the exact adjoint of deposit (the self-force
+    cancellation PIC needs) — only an O(2^-8) zero-mean weight dither is
+    introduced."""
     assert ts.n_dims == 3, "pallas deposit is 3D (use ops.tiled for ND)"
     NT, B, _ = lpos.shape
     P = ts.P
@@ -105,7 +112,7 @@ def deposit(lpos: jax.Array, value: jax.Array, ts: TileSpec,
                        lambda i, j: (i * (rows_per_tile // 8) + j, 0),
                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_deposit_kernel, P=P, M=ts.M),
+        partial(_deposit_kernel, P=P, M=ts.M, mxu_dtype=mxu_dtype),
         out_shape=jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
         grid=(NT, grid_j),
         in_specs=[pin, pin, pin, pin],
@@ -117,10 +124,12 @@ def deposit(lpos: jax.Array, value: jax.Array, ts: TileSpec,
 
 
 def deposit_to_grid(lpos, alive, charge, ts: TileSpec,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    mxu_dtype=jnp.float32) -> jax.Array:
     from .tiled import fold_to_global
     value = jnp.where(alive, jnp.asarray(charge, jnp.float32), 0.0)
-    tiles = deposit(lpos, value, ts, interpret=interpret)
+    tiles = deposit(lpos, value, ts, interpret=interpret,
+                    mxu_dtype=mxu_dtype)
     return fold_to_global(tiles.reshape((ts.NT,) + (ts.P,) * 3), ts)
 
 
@@ -128,15 +137,17 @@ def deposit_to_grid(lpos, alive, charge, ts: TileSpec,
 # Gather
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C):
-    E = e_ref[0, :, :]                           # (P, P*P*C)
+def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C,
+                   mxu_dtype):
+    E = e_ref[0, :, :].astype(mxu_dtype)         # (P, P*P*C)
     for r in range(x_ref.shape[0]):              # static 8-row unroll
         wx = _weights_t(x_ref[r:r + 1, :], P, M)   # (P, BBC)
         wy = _weights_t(y_ref[r:r + 1, :], P, M)
         wz = _weights_t(z_ref[r:r + 1, :], P, M)
         # t1[(y,z,c), b] = sum_x E[x,(y,z,c)] wx[x,b]
         t1 = jax.lax.dot_general(
-            E, wx, (((0,), (0,)), ((), ())),     # (P*P*C, BBC)
+            E, wx.astype(mxu_dtype),
+            (((0,), (0,)), ((), ())),            # (P*P*C, BBC)
             preferred_element_type=jnp.float32)
         bbc = wx.shape[1]
         t1 = t1.reshape(P, P * C, bbc)
@@ -147,7 +158,7 @@ def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C):
 
 
 def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
-           interpret: bool = False) -> jax.Array:
+           interpret: bool = False, mxu_dtype=jnp.float32) -> jax.Array:
     """field_pad (NT, P, P, P, C), lpos (NT, B, 3) -> (NT, B, C)."""
     assert ts.n_dims == 3
     NT, B, _ = lpos.shape
@@ -164,7 +175,7 @@ def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
                        memory_space=pltpu.VMEM)
     E = field_pad.reshape(NT, P, P * P * C)
     out = pl.pallas_call(
-        partial(_gather_kernel, P=P, M=ts.M, C=C),
+        partial(_gather_kernel, P=P, M=ts.M, C=C, mxu_dtype=mxu_dtype),
         out_shape=jax.ShapeDtypeStruct((NT, C, rows_per_tile, bbc),
                                        jnp.float32),
         grid=(NT, grid_j),

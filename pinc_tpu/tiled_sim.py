@@ -70,6 +70,9 @@ class TiledSimulation(Simulation):
                                         jax.devices()[0].platform != "cpu")
                            else "xla")
         self._backend = cfg.get_str("tiles:backend", default_backend).lower()
+        self._mxu_dtype = (jnp.bfloat16 if cfg.get_str(
+            "tiles:mxudtype", "f32").lower() in ("bf16", "bfloat16")
+            else jnp.float32)
 
         self.state = self._bucket_all(self.particles)
         self._tstep_jit = jax.jit(self._tiled_step, donate_argnums=(0,))
@@ -124,8 +127,9 @@ class TiledSimulation(Simulation):
         for s in range(st.lpos.shape[0]):
             q = float(np.asarray(self.params.charge)[s])
             if self._backend == "pallas":
-                from ..ops import pallas_tiled as ptl
-                r = ptl.deposit_to_grid(st.lpos[s], st.alive[s], q, self.ts)
+                from .ops import pallas_tiled as ptl
+                r = ptl.deposit_to_grid(st.lpos[s], st.alive[s], q, self.ts,
+                                        mxu_dtype=self._mxu_dtype)
             else:
                 r = tl.deposit_tiled(st.lpos[s], st.alive[s], q, self.ts)
             rho = r if rho is None else rho + r
@@ -143,10 +147,11 @@ class TiledSimulation(Simulation):
         # near-serial loop on TPU (measured 315 ms vs 35 ms at 64^3/4.2M);
         # the pallas kernel additionally keeps the intermediates in VMEM
         if self._backend == "pallas":
-            from ..ops import pallas_tiled as ptl
+            from .ops import pallas_tiled as ptl
             P = self.ts.P
             ep5 = E_pad.reshape((self.ts.NT,) + (P,) * 3 + (E.shape[-1],))
-            gather = lambda e, lp, ts: ptl.gather(ep5, lp, ts)
+            gather = lambda e, lp, ts: ptl.gather(
+                ep5, lp, ts, mxu_dtype=self._mxu_dtype)
         elif self._gather_mode == "mxu":
             gather = tl.gather_tiled_mxu
         else:
