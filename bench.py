@@ -50,7 +50,7 @@ nAlloc = {ppc} pc
 charge = -1,1
 mass = 1,1836
 multiplicity = auto
-thermalVelocity = 0.05,0.001
+thermalVelocity = 0.02,0.0005
 drift = 0
 [methods]
 mode = regular
@@ -61,7 +61,6 @@ migrate = puExtractEmigrantsND
 [tiles]
 tileSize = 8
 margin = 2
-rebucketEvery = 10
 """
     cfg = PincConfig.from_string(deck)
     t0 = time.monotonic()

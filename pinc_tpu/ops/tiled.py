@@ -94,10 +94,16 @@ def bucket(pos: jax.Array, vel: jax.Array, alive: jax.Array,
         tid = tid * nt[d] + tcoord[:, d]
     tid = jnp.where(alive, tid, ts.NT)            # dead last
 
-    order = jnp.argsort(tid)
-    tid_s = tid[order]
-    pos_s = pos[order]
-    vel_s = vel[order]
+    # ONE multi-operand stable sort carries the payloads through the sort
+    # network — separate argsort + payload gathers cost ~3 extra random
+    # passes at the chip's ~50M lookups/s
+    ops = jax.lax.sort(
+        (tid,) + tuple(pos[:, d] for d in range(D))
+        + tuple(vel[:, d] for d in range(D)),
+        dimension=0, num_keys=1, is_stable=True)
+    tid_s = ops[0]
+    pos_s = jnp.stack(ops[1:1 + D], axis=-1)
+    vel_s = jnp.stack(ops[1 + D:1 + 2 * D], axis=-1)
 
     # segment starts via searchsorted; slot (t, b) <- sorted index start[t]+b
     starts = jnp.searchsorted(tid_s, jnp.arange(ts.NT, dtype=tid_s.dtype))

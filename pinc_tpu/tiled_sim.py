@@ -62,9 +62,18 @@ class TiledSimulation(Simulation):
                               chunk=cfg.get_int("tiles:chunk", 32))
         self.ts.validate()
 
-        vmax = max(cfg.get_double("population:maxvel", 1.0), 1e-3)
-        self.rebucket_every = cfg.get_int("tiles:rebucketevery",
-                                          max(1, int(M / vmax)))
+        # re-bucket cadence: default from the actual velocity scale (99.9th
+        # percentile of the initial speeds + drift head-room) rather than
+        # the conservative population:maxVel bound — the out-of-margin
+        # counter triggers an early re-bucket if the estimate is beaten
+        if "tiles:rebucketevery" in cfg:
+            self.rebucket_every = cfg.get_int("tiles:rebucketevery")
+        else:
+            v = np.abs(np.asarray(self.particles.vel))
+            v = v[np.asarray(self.particles.alive)]
+            vmax = float(np.percentile(v, 99.9)) * 1.5 if v.size else 0.0
+            vmax = max(vmax, 1e-3)
+            self.rebucket_every = max(1, min(int(M / vmax), 200))
         self._gather_mode = cfg.get_str("tiles:gather", "mxu").lower()
         default_backend = ("pallas" if (nd == 3 and
                                         jax.devices()[0].platform != "cpu")
@@ -202,16 +211,18 @@ class TiledSimulation(Simulation):
             writer.write_energy(0, ke_hist[0], pe_hist[0])
         for n in range(1, self.n_time_steps + 1):
             st, rho, phi, E, diag = self._tstep_jit(st)
-            if n % self.rebucket_every == 0:
+            # scheduled re-bucket, or adaptive early one when particles hit
+            # the margin (their charge was withheld for this one step)
+            if n % self.rebucket_every == 0 or int(diag.n_lost):
+                if int(diag.n_lost):
+                    msg(WARNING, "step %d: %d particle(s) reached the tile "
+                        "margin; re-bucketing early", n, int(diag.n_lost))
                 st, dropped = self._rebucket_jit(st)
                 if int(dropped):
                     msg(WARNING, "step %d: %d particle(s) dropped by bucket "
                         "overflow (raise tiles:slack)", n, int(dropped))
             ke = np.asarray(diag.kin_energy)
             pe = float(diag.pot_energy)
-            if int(diag.n_lost):
-                msg(WARNING, "step %d: %d particle(s) outside the tile "
-                    "margin (lower tiles:rebucketEvery)", n, int(diag.n_lost))
             ke_hist.append(ke)
             pe_hist.append(pe)
             if writer is not None:
