@@ -139,22 +139,21 @@ def deposit_to_grid(lpos, alive, charge, ts: TileSpec,
 
 def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C,
                    mxu_dtype):
-    E = e_ref[0, :, :].astype(mxu_dtype)         # (P, P*P*C)
+    """Per component c:  G_c(P, BBC) = E_c(P, P^2) @ wyz(P^2, BBC) on the
+    MXU (N = BBC: full lanes), then e_c = sum_x wx * G_c — the largest
+    intermediate is the shared (P^2, BBC) kron, ~3x smaller than the
+    (P^2*C, BBC) of the x-first ordering."""
     for r in range(x_ref.shape[0]):              # static 8-row unroll
         wx = _weights_t(x_ref[r:r + 1, :], P, M)   # (P, BBC)
         wy = _weights_t(y_ref[r:r + 1, :], P, M)
         wz = _weights_t(z_ref[r:r + 1, :], P, M)
-        # t1[(y,z,c), b] = sum_x E[x,(y,z,c)] wx[x,b]
-        t1 = jax.lax.dot_general(
-            E, wx.astype(mxu_dtype),
-            (((0,), (0,)), ((), ())),            # (P*P*C, BBC)
-            preferred_element_type=jnp.float32)
-        bbc = wx.shape[1]
-        t1 = t1.reshape(P, P * C, bbc)
-        t2 = jnp.sum(t1 * wy[:, None, :], axis=0)          # (P*C, BBC)
-        t2 = t2.reshape(P, C, bbc)
-        t3 = jnp.sum(t2 * wz[:, None, :], axis=0)          # (C, BBC)
-        out_ref[0, :, r, :] = t3
+        wyz = _kron_rows(wy, wz, P).astype(mxu_dtype)      # (P*P, BBC)
+        for c in range(C):
+            Ec = e_ref[0, c, :, :].astype(mxu_dtype)       # (P, P*P)
+            G = jax.lax.dot_general(
+                Ec, wyz, (((1,), (0,)), ((), ())),         # (P, BBC)
+                preferred_element_type=jnp.float32)
+            out_ref[0, c, r, :] = jnp.sum(wx * G, axis=0)
 
 
 def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
@@ -173,14 +172,15 @@ def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
     pin = pl.BlockSpec((8, bbc),
                        lambda i, j: (i * (rows_per_tile // 8) + j, 0),
                        memory_space=pltpu.VMEM)
-    E = field_pad.reshape(NT, P, P * P * C)
+    # component-major field tiles: (NT, C, P, P^2)
+    E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
     out = pl.pallas_call(
         partial(_gather_kernel, P=P, M=ts.M, C=C, mxu_dtype=mxu_dtype),
         out_shape=jax.ShapeDtypeStruct((NT, C, rows_per_tile, bbc),
                                        jnp.float32),
         grid=(NT, grid_j),
         in_specs=[pin, pin, pin,
-                  pl.BlockSpec((1, P, P * P * C), lambda i, j: (i, 0, 0),
+                  pl.BlockSpec((1, C, P, P * P), lambda i, j: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, C, 8, bbc), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
