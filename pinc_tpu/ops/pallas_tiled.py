@@ -71,26 +71,38 @@ def _kron_rows(wy, wz, P: int):
 # Deposition
 # ---------------------------------------------------------------------------
 
-def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M, mxu_dtype):
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M,
+                    mxu_dtype, G):
+    """Block covers G whole tiles (8 rows each); a fori over tiles keeps
+    the grid coarse — thousands of micro grid-steps otherwise dominate
+    wall time with fixed per-step overhead."""
+    def tile_body(g, _):
+        acc = jnp.zeros((P, P * P), jnp.float32)
+        for r in range(8):                       # static 8-row unroll
+            sl = (pl.ds(g * 8 + r, 1), slice(None))
+            wx = _weights_t(x_ref[sl], P, M) * val_ref[sl]
+            wy = _weights_t(y_ref[sl], P, M)
+            wz = _weights_t(z_ref[sl], P, M)
+            wyz = _kron_rows(wy, wz, P)          # (P*P, BBC)
+            acc = acc + jax.lax.dot_general(
+                wx.astype(mxu_dtype), wyz.astype(mxu_dtype),
+                (((1,), (1,)), ((), ())),        # contract lanes
+                preferred_element_type=jnp.float32)
+        out_ref[pl.ds(g, 1), :, :] = acc[None]
+        return 0
 
-    acc = jnp.zeros((P, P * P), jnp.float32)
-    for r in range(x_ref.shape[0]):             # static 8-row unroll
-        wx = _weights_t(x_ref[r:r + 1, :], P, M) * val_ref[r:r + 1, :]
-        wy = _weights_t(y_ref[r:r + 1, :], P, M)
-        wz = _weights_t(z_ref[r:r + 1, :], P, M)
-        wyz = _kron_rows(wy, wz, P)             # (P*P, BBC)
-        acc = acc + jax.lax.dot_general(
-            wx.astype(mxu_dtype), wyz.astype(mxu_dtype),
-            (((1,), (1,)), ((), ())),           # contract lanes
-            preferred_element_type=jnp.float32)
-    out_ref[0, :, :] += acc
+    jax.lax.fori_loop(0, G, tile_body, 0)
+
+
+def _tiles_per_step(NT: int, G: int) -> int:
+    while NT % G:
+        G //= 2
+    return max(G, 1)
 
 
 def deposit(lpos: jax.Array, value: jax.Array, ts: TileSpec,
-            interpret: bool = False, mxu_dtype=jnp.float32) -> jax.Array:
+            interpret: bool = False, mxu_dtype=jnp.float32,
+            tiles_per_step: int = 8) -> jax.Array:
     """lpos (NT, B, 3) tile-local f32, value (NT, B) charge*alive ->
     padded tile densities (NT, P, P*P) f32.
 
@@ -102,21 +114,22 @@ def deposit(lpos: jax.Array, value: jax.Array, ts: TileSpec,
     assert ts.n_dims == 3, "pallas deposit is 3D (use ops.tiled for ND)"
     NT, B, _ = lpos.shape
     P = ts.P
-    bbc, grid_j = _layout(B)
-    rows_per_tile = B // bbc
+    if B % 8 != 0:
+        raise ValueError(f"bucket capacity {B} must be a multiple of 8")
+    bbc = B // 8
+    G = _tiles_per_step(NT, tiles_per_step)
 
     def rs(a):
-        return a.reshape(NT * rows_per_tile, bbc)
+        return a.reshape(NT * 8, bbc)
 
-    pin = pl.BlockSpec((8, bbc),
-                       lambda i, j: (i * (rows_per_tile // 8) + j, 0),
+    pin = pl.BlockSpec((8 * G, bbc), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_deposit_kernel, P=P, M=ts.M, mxu_dtype=mxu_dtype),
+        partial(_deposit_kernel, P=P, M=ts.M, mxu_dtype=mxu_dtype, G=G),
         out_shape=jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
-        grid=(NT, grid_j),
+        grid=(NT // G,),
         in_specs=[pin, pin, pin, pin],
-        out_specs=pl.BlockSpec((1, P, P * P), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, P, P * P), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rs(lpos[..., 0]), rs(lpos[..., 1]), rs(lpos[..., 2]), rs(value))
@@ -138,54 +151,61 @@ def deposit_to_grid(lpos, alive, charge, ts: TileSpec,
 # ---------------------------------------------------------------------------
 
 def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C,
-                   mxu_dtype):
+                   mxu_dtype, G):
     """Per component c:  G_c(P, BBC) = E_c(P, P^2) @ wyz(P^2, BBC) on the
     MXU (N = BBC: full lanes), then e_c = sum_x wx * G_c — the largest
     intermediate is the shared (P^2, BBC) kron, ~3x smaller than the
-    (P^2*C, BBC) of the x-first ordering."""
-    for r in range(x_ref.shape[0]):              # static 8-row unroll
-        wx = _weights_t(x_ref[r:r + 1, :], P, M)   # (P, BBC)
-        wy = _weights_t(y_ref[r:r + 1, :], P, M)
-        wz = _weights_t(z_ref[r:r + 1, :], P, M)
-        wyz = _kron_rows(wy, wz, P).astype(mxu_dtype)      # (P*P, BBC)
-        for c in range(C):
-            Ec = e_ref[0, c, :, :].astype(mxu_dtype)       # (P, P*P)
-            G = jax.lax.dot_general(
-                Ec, wyz, (((1,), (0,)), ((), ())),         # (P, BBC)
-                preferred_element_type=jnp.float32)
-            out_ref[0, c, r, :] = jnp.sum(wx * G, axis=0)
+    (P^2*C, BBC) of the x-first ordering.  fori over the G tiles of the
+    block keeps the grid coarse."""
+    def tile_body(g, _):
+        for r in range(8):                       # static 8-row unroll
+            sl = (pl.ds(g * 8 + r, 1), slice(None))
+            wx = _weights_t(x_ref[sl], P, M)     # (P, BBC)
+            wy = _weights_t(y_ref[sl], P, M)
+            wz = _weights_t(z_ref[sl], P, M)
+            wyz = _kron_rows(wy, wz, P).astype(mxu_dtype)  # (P*P, BBC)
+            for c in range(C):
+                Ec = e_ref[g, c, :, :].astype(mxu_dtype)   # (P, P*P)
+                Gc = jax.lax.dot_general(
+                    Ec, wyz, (((1,), (0,)), ((), ())),     # (P, BBC)
+                    preferred_element_type=jnp.float32)
+                out_ref[g, c, r, :] = jnp.sum(wx * Gc, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, G, tile_body, 0)
 
 
 def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
-           interpret: bool = False, mxu_dtype=jnp.float32) -> jax.Array:
+           interpret: bool = False, mxu_dtype=jnp.float32,
+           tiles_per_step: int = 8) -> jax.Array:
     """field_pad (NT, P, P, P, C), lpos (NT, B, 3) -> (NT, B, C)."""
     assert ts.n_dims == 3
     NT, B, _ = lpos.shape
     P = ts.P
     C = field_pad.shape[-1]
-    bbc, grid_j = _layout(B)
-    rows_per_tile = B // bbc
+    if B % 8 != 0:
+        raise ValueError(f"bucket capacity {B} must be a multiple of 8")
+    bbc = B // 8
+    G = _tiles_per_step(NT, tiles_per_step)
 
     def rs(a):
-        return a.reshape(NT * rows_per_tile, bbc)
+        return a.reshape(NT * 8, bbc)
 
-    pin = pl.BlockSpec((8, bbc),
-                       lambda i, j: (i * (rows_per_tile // 8) + j, 0),
+    pin = pl.BlockSpec((8 * G, bbc), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     # component-major field tiles: (NT, C, P, P^2)
     E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
     out = pl.pallas_call(
-        partial(_gather_kernel, P=P, M=ts.M, C=C, mxu_dtype=mxu_dtype),
-        out_shape=jax.ShapeDtypeStruct((NT, C, rows_per_tile, bbc),
-                                       jnp.float32),
-        grid=(NT, grid_j),
+        partial(_gather_kernel, P=P, M=ts.M, C=C, mxu_dtype=mxu_dtype, G=G),
+        out_shape=jax.ShapeDtypeStruct((NT, C, 8, bbc), jnp.float32),
+        grid=(NT // G,),
         in_specs=[pin, pin, pin,
-                  pl.BlockSpec((1, C, P, P * P), lambda i, j: (i, 0, 0, 0),
+                  pl.BlockSpec((G, C, P, P * P), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, C, 8, bbc), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((G, C, 8, bbc), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rs(lpos[..., 0]), rs(lpos[..., 1]), rs(lpos[..., 2]), E)
-    # (NT, C, rows, bbc) -> (NT, B, C)
+    # (NT, C, 8, bbc) -> (NT, B, C)
     out = out.reshape(NT, C, B)
     return jnp.swapaxes(out, 1, 2)
