@@ -53,7 +53,14 @@ class TiledSimulation(Simulation):
 
         nd = self.spec.n_dims
         T = cfg.get_int("tiles:tilesize", 8)
-        M = cfg.get_int("tiles:margin", 2)
+        # margin default: kernel cost scales with (T+1+2M)^3, so prefer M=1
+        # when the velocity scale allows a re-bucket cadence >= 8 steps;
+        # the out-of-margin early re-bucket keeps M=1 safe regardless
+        v = np.abs(np.asarray(self.particles.vel))
+        v = v[np.asarray(self.particles.alive)]
+        vmax_est = max(float(np.percentile(v, 99.9)) * 1.5
+                       if v.size else 0.0, 1e-3)
+        M = cfg.get_int("tiles:margin", 1 if 1.0 / vmax_est >= 8 else 2)
         slack = cfg.get_double("tiles:slack", 1.5)
         # per-species particles per tile
         ppt = self.particles.capacity * (T ** nd) / self.spec.global_volume
@@ -69,11 +76,7 @@ class TiledSimulation(Simulation):
         if "tiles:rebucketevery" in cfg:
             self.rebucket_every = cfg.get_int("tiles:rebucketevery")
         else:
-            v = np.abs(np.asarray(self.particles.vel))
-            v = v[np.asarray(self.particles.alive)]
-            vmax = float(np.percentile(v, 99.9)) * 1.5 if v.size else 0.0
-            vmax = max(vmax, 1e-3)
-            self.rebucket_every = max(1, min(int(M / vmax), 200))
+            self.rebucket_every = max(1, min(int(M / vmax_est), 200))
         self._gather_mode = cfg.get_str("tiles:gather", "mxu").lower()
         default_backend = ("pallas" if (nd == 3 and
                                         jax.devices()[0].platform != "cpu")
