@@ -60,7 +60,6 @@ distr = puDistr3D1
 migrate = puExtractEmigrantsND
 [tiles]
 tileSize = 8
-margin = 2
 """
     cfg = PincConfig.from_string(deck)
     t0 = time.monotonic()
