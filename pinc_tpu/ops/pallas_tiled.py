@@ -158,17 +158,20 @@ def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C,
     (P^2*C, BBC) of the x-first ordering.  fori over the G tiles of the
     block keeps the grid coarse."""
     def tile_body(g, _):
+        # all C components stacked along the matmul M-dim: (C*P, P^2) @
+        # (P^2, BBC) uses 3x the sublanes of a per-component contraction
+        E_all = e_ref[g, :, :, :].reshape(C * P, P * P).astype(mxu_dtype)
         for r in range(8):                       # static 8-row unroll
             sl = (pl.ds(g * 8 + r, 1), slice(None))
             wx = _weights_t(x_ref[sl], P, M)     # (P, BBC)
             wy = _weights_t(y_ref[sl], P, M)
             wz = _weights_t(z_ref[sl], P, M)
             wyz = _kron_rows(wy, wz, P).astype(mxu_dtype)  # (P*P, BBC)
+            G_all = jax.lax.dot_general(
+                E_all, wyz, (((1,), (0,)), ((), ())),      # (C*P, BBC)
+                preferred_element_type=jnp.float32)
             for c in range(C):
-                Ec = e_ref[g, c, :, :].astype(mxu_dtype)   # (P, P*P)
-                Gc = jax.lax.dot_general(
-                    Ec, wyz, (((1,), (0,)), ((), ())),     # (P, BBC)
-                    preferred_element_type=jnp.float32)
+                Gc = G_all[c * P:(c + 1) * P, :]
                 out_ref[g, c, r, :] = jnp.sum(wx * Gc, axis=0)
         return 0
 

@@ -53,14 +53,15 @@ class TiledSimulation(Simulation):
 
         nd = self.spec.n_dims
         T = cfg.get_int("tiles:tilesize", 8)
-        # margin default: kernel cost scales with (T+1+2M)^3, so prefer M=1
-        # when the velocity scale allows a re-bucket cadence >= 8 steps;
-        # the out-of-margin early re-bucket keeps M=1 safe regardless
+        # margin default 2: Mosaic pads the contraction M-dim to sublane
+        # multiples of 8, so P in 9..16 costs the same MXU time — a larger
+        # margin buys a longer re-bucket cadence for free (the re-bucket
+        # sort, not the kernels, is the marginal cost)
         v = np.abs(np.asarray(self.particles.vel))
         v = v[np.asarray(self.particles.alive)]
         vmax_est = max(float(np.percentile(v, 99.9)) * 1.5
                        if v.size else 0.0, 1e-3)
-        M = cfg.get_int("tiles:margin", 1 if 1.0 / vmax_est >= 8 else 2)
+        M = cfg.get_int("tiles:margin", 2)
         slack = cfg.get_double("tiles:slack", 1.5)
         # per-species particles per tile
         ppt = self.particles.capacity * (T ** nd) / self.spec.global_volume
