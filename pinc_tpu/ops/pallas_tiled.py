@@ -80,13 +80,15 @@ def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M,
         acc = jnp.zeros((P, P * P), jnp.float32)
         for r in range(8):                       # static 8-row unroll
             sl = (pl.ds(g * 8 + r, 1), slice(None))
-            wx = _weights_t(x_ref[sl], P, M) * val_ref[sl]
-            wy = _weights_t(y_ref[sl], P, M)
-            wz = _weights_t(z_ref[sl], P, M)
+            wx = (_weights_t(x_ref[sl], P, M)
+                  * val_ref[sl]).astype(mxu_dtype)
+            # build the kron directly in the MXU dtype: it is the largest
+            # VMEM intermediate and its construction is ~60% of the kernel
+            wy = _weights_t(y_ref[sl], P, M).astype(mxu_dtype)
+            wz = _weights_t(z_ref[sl], P, M).astype(mxu_dtype)
             wyz = _kron_rows(wy, wz, P)          # (P*P, BBC)
             acc = acc + jax.lax.dot_general(
-                wx.astype(mxu_dtype), wyz.astype(mxu_dtype),
-                (((1,), (1,)), ((), ())),        # contract lanes
+                wx, wyz, (((1,), (1,)), ((), ())),   # contract lanes
                 preferred_element_type=jnp.float32)
         out_ref[pl.ds(g, 1), :, :] = acc[None]
         return 0
@@ -164,9 +166,9 @@ def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C,
         for r in range(8):                       # static 8-row unroll
             sl = (pl.ds(g * 8 + r, 1), slice(None))
             wx = _weights_t(x_ref[sl], P, M)     # (P, BBC)
-            wy = _weights_t(y_ref[sl], P, M)
-            wz = _weights_t(z_ref[sl], P, M)
-            wyz = _kron_rows(wy, wz, P).astype(mxu_dtype)  # (P*P, BBC)
+            wy = _weights_t(y_ref[sl], P, M).astype(mxu_dtype)
+            wz = _weights_t(z_ref[sl], P, M).astype(mxu_dtype)
+            wyz = _kron_rows(wy, wz, P)          # (P*P, BBC)
             G_all = jax.lax.dot_general(
                 E_all, wyz, (((1,), (0,)), ((), ())),      # (C*P, BBC)
                 preferred_element_type=jnp.float32)
