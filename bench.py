@@ -60,6 +60,7 @@ distr = puDistr3D1
 migrate = puExtractEmigrantsND
 [tiles]
 tileSize = 8
+mxuDtype = bf16
 """
     cfg = PincConfig.from_string(deck)
     t0 = time.monotonic()
