@@ -86,6 +86,12 @@ class TiledSimulation(Simulation):
         self._mxu_dtype = (jnp.bfloat16 if cfg.get_str(
             "tiles:mxudtype", "f32").lower() in ("bf16", "bfloat16")
             else jnp.float32)
+        # exchange re-bucket works in any D==3 layout (the Pallas kernels
+        # have interpret-mode fallbacks on CPU); sort is the generic path
+        self._rebucket_mode = cfg.get_str(
+            "tiles:rebucket", "exchange" if nd == 3 else "sort").lower()
+        cap = int(self.ts.B // 4)
+        self._exchange_cap = max(128, (cap // 128) * 128)
 
         self.state = self._bucket_all(self.particles)
         self._tstep_jit = jax.jit(self._tiled_step, donate_argnums=(0,))
@@ -111,10 +117,19 @@ class TiledSimulation(Simulation):
         lposs, vels, alives = [], [], []
         dropped = jnp.zeros((), jnp.int32)
         for s in range(S):
-            gpos = tl.global_positions(st.lpos[s], self.ts).reshape(-1, self.ts.n_dims)
-            vel = st.vel[s].reshape(-1, self.ts.n_dims)
-            alive = st.alive[s].reshape(-1)
-            lp, lv, la, d = tl.bucket(gpos, vel, alive, self.ts)
+            if self._rebucket_mode == "exchange":
+                # neighbor-tile transfers as one-hot selection matmuls —
+                # no sort (the lax.sort re-bucket costs seconds at 128^3)
+                lp, lv, la, d = tl.rebucket_exchange(
+                    st.lpos[s], st.vel[s], st.alive[s], self.ts,
+                    K=self._exchange_cap,
+                    interpret=jax.devices()[0].platform == "cpu")
+            else:
+                gpos = tl.global_positions(st.lpos[s], self.ts).reshape(
+                    -1, self.ts.n_dims)
+                vel = st.vel[s].reshape(-1, self.ts.n_dims)
+                alive = st.alive[s].reshape(-1)
+                lp, lv, la, d = tl.bucket(gpos, vel, alive, self.ts)
             lposs.append(lp); vels.append(lv); alives.append(la)
             dropped = dropped + d.astype(jnp.int32)
         return TiledState(lpos=jnp.stack(lposs), vel=jnp.stack(vels),
