@@ -102,11 +102,14 @@ def _tiles_per_step(NT: int, G: int) -> int:
     return max(G, 1)
 
 
-def deposit(lpos: jax.Array, value: jax.Array, ts: TileSpec,
+def deposit(xyz: jax.Array, value: jax.Array, ts: TileSpec,
             interpret: bool = False, mxu_dtype=jnp.float32,
             tiles_per_step: int = 8) -> jax.Array:
-    """lpos (NT, B, 3) tile-local f32, value (NT, B) charge*alive ->
-    padded tile densities (NT, P, P*P) f32.
+    """xyz (3, NT, B) tile-local coordinate planes f32, value (NT, B)
+    charge*alive -> padded tile densities (NT, P, P*P) f32.
+
+    Component-plane input keeps the kernel feed transpose-free (an
+    (NT, B, 3) layout would materialize three strided copies per call).
 
     mxu_dtype=bfloat16 halves the VMEM intermediate traffic and doubles
     the MXU rate; deposit and gather then use IDENTICALLY-rounded weight
@@ -114,7 +117,7 @@ def deposit(lpos: jax.Array, value: jax.Array, ts: TileSpec,
     cancellation PIC needs) — only an O(2^-8) zero-mean weight dither is
     introduced."""
     assert ts.n_dims == 3, "pallas deposit is 3D (use ops.tiled for ND)"
-    NT, B, _ = lpos.shape
+    _, NT, B = xyz.shape
     P = ts.P
     if B % 8 != 0:
         raise ValueError(f"bucket capacity {B} must be a multiple of 8")
@@ -134,16 +137,16 @@ def deposit(lpos: jax.Array, value: jax.Array, ts: TileSpec,
         out_specs=pl.BlockSpec((G, P, P * P), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rs(lpos[..., 0]), rs(lpos[..., 1]), rs(lpos[..., 2]), rs(value))
+    )(rs(xyz[0]), rs(xyz[1]), rs(xyz[2]), rs(value))
     return out
 
 
-def deposit_to_grid(lpos, alive, charge, ts: TileSpec,
+def deposit_to_grid(xyz, alive, charge, ts: TileSpec,
                     interpret: bool = False,
                     mxu_dtype=jnp.float32) -> jax.Array:
     from .tiled import fold_to_global
     value = jnp.where(alive, jnp.asarray(charge, jnp.float32), 0.0)
-    tiles = deposit(lpos, value, ts, interpret=interpret,
+    tiles = deposit(xyz, value, ts, interpret=interpret,
                     mxu_dtype=mxu_dtype)
     return fold_to_global(tiles.reshape((ts.NT,) + (ts.P,) * 3), ts)
 
@@ -174,18 +177,20 @@ def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C,
                 preferred_element_type=jnp.float32)
             for c in range(C):
                 Gc = G_all[c * P:(c + 1) * P, :]
-                out_ref[g, c, r, :] = jnp.sum(wx * Gc, axis=0)
+                out_ref[c, g, r, :] = jnp.sum(wx * Gc, axis=0)
         return 0
 
     jax.lax.fori_loop(0, G, tile_body, 0)
 
 
-def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
+def gather(field_pad: jax.Array, xyz: jax.Array, ts: TileSpec,
            interpret: bool = False, mxu_dtype=jnp.float32,
            tiles_per_step: int = 8) -> jax.Array:
-    """field_pad (NT, P, P, P, C), lpos (NT, B, 3) -> (NT, B, C)."""
+    """field_pad (NT, P, P, P, C), xyz (3, NT, B) coordinate planes ->
+    (C, NT, B) component-major field at the particles (matches the
+    plane state layout, so neither side of the call transposes)."""
     assert ts.n_dims == 3
-    NT, B, _ = lpos.shape
+    _, NT, B = xyz.shape
     P = ts.P
     C = field_pad.shape[-1]
     if B % 8 != 0:
@@ -202,15 +207,13 @@ def gather(field_pad: jax.Array, lpos: jax.Array, ts: TileSpec,
     E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
     out = pl.pallas_call(
         partial(_gather_kernel, P=P, M=ts.M, C=C, mxu_dtype=mxu_dtype, G=G),
-        out_shape=jax.ShapeDtypeStruct((NT, C, 8, bbc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, NT, 8, bbc), jnp.float32),
         grid=(NT // G,),
         in_specs=[pin, pin, pin,
                   pl.BlockSpec((G, C, P, P * P), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((G, C, 8, bbc), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((C, G, 8, bbc), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rs(lpos[..., 0]), rs(lpos[..., 1]), rs(lpos[..., 2]), E)
-    # (NT, C, 8, bbc) -> (NT, B, C)
-    out = out.reshape(NT, C, B)
-    return jnp.swapaxes(out, 1, 2)
+    )(rs(xyz[0]), rs(xyz[1]), rs(xyz[2]), E)
+    return out.reshape(C, NT, B)

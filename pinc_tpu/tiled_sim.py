@@ -37,8 +37,13 @@ from .utils.logging import STATUS, WARNING, msg
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class TiledState:
-    lpos: jax.Array    # (S, NT, B, D) tile-local positions
-    vel: jax.Array     # (S, NT, B, D)
+    """Component-plane layout: coordinates are stored as D contiguous
+    (NT, B) planes rather than an (NT, B, D) array — every Pallas kernel
+    reads per-component planes, and the interleaved layout would
+    materialize three strided copies per kernel call (~1.2 GB/step at
+    production size)."""
+    lpos: jax.Array    # (S, D, NT, B) tile-local positions
+    vel: jax.Array     # (S, D, NT, B)
     alive: jax.Array   # (S, NT, B)
 
 
@@ -90,8 +95,15 @@ class TiledSimulation(Simulation):
         # have interpret-mode fallbacks on CPU); sort is the generic path
         self._rebucket_mode = cfg.get_str(
             "tiles:rebucket", "exchange" if nd == 3 else "sort").lower()
-        cap = int(self.ts.B // 4)
-        self._exchange_cap = max(128, (cap // 128) * 128)
+        # per-face transfer capacity: leavers over one cadence drift at
+        # most ~M cells (R*vmax ~= M), so ~ppt*M/T reach a face and half
+        # go through it; kernel cost is linear in K, overflow is counted
+        # and dropped loudly, and the out-of-margin early trigger bounds
+        # the drift, so a 2x-mean headroom suffices
+        ppt_est = ppt if ppt > 0 else 128
+        cap = int(math.ceil(ppt_est * max(M, 1) / (4.0 * T) / 128.0)) * 128
+        cap = max(128, min(cap, (self.ts.B // 8) * 8))
+        self._exchange_cap = cfg.get_int("tiles:exchangecap", cap)
 
         self.state = self._bucket_all(self.particles)
         self._tstep_jit = jax.jit(self._tiled_step, donate_argnums=(0,))
@@ -108,36 +120,48 @@ class TiledSimulation(Simulation):
         for s in range(S):
             pos = p.cell[s].astype(jnp.float32) + p.frac[s]
             lp, lv, la, dropped = tl.bucket(pos, p.vel[s], p.alive[s], self.ts)
-            lposs.append(lp); vels.append(lv); alives.append(la)
+            lposs.append(jnp.moveaxis(lp, -1, 0))
+            vels.append(jnp.moveaxis(lv, -1, 0))
+            alives.append(la)
         return TiledState(lpos=jnp.stack(lposs), vel=jnp.stack(vels),
                           alive=jnp.stack(alives))
 
     def _rebucket(self, st: TiledState) -> Tuple[TiledState, jax.Array]:
         S = st.lpos.shape[0]
+        D = self.ts.n_dims
         lposs, vels, alives = [], [], []
         dropped = jnp.zeros((), jnp.int32)
         for s in range(S):
             if self._rebucket_mode == "exchange":
-                # neighbor-tile transfers as one-hot selection matmuls —
-                # no sort (the lax.sort re-bucket costs seconds at 128^3)
-                lp, lv, la, d = tl.rebucket_exchange(
-                    st.lpos[s], st.vel[s], st.alive[s], self.ts,
-                    K=self._exchange_cap,
+                # fused plane kernels: per-dim extract/merge selection
+                # matmuls, no sort, no full-payload XLA sweeps
+                from .ops import pallas_exchange as pex
+                planes = tuple(st.lpos[s, d] for d in range(D)) + tuple(
+                    st.vel[s, d] for d in range(D))
+                planes, al, d_n = pex.rebucket_exchange_planes(
+                    planes, st.alive[s].astype(jnp.float32),
+                    self.ts.ntiles, self.ts.T, K=self._exchange_cap,
                     interpret=jax.devices()[0].platform == "cpu")
+                lp = jnp.stack(planes[:D])
+                lv = jnp.stack(planes[D:])
+                la = al > 0.5
             else:
-                gpos = tl.global_positions(st.lpos[s], self.ts).reshape(
-                    -1, self.ts.n_dims)
-                vel = st.vel[s].reshape(-1, self.ts.n_dims)
+                gpos = tl.global_positions(
+                    jnp.moveaxis(st.lpos[s], 0, -1), self.ts).reshape(-1, D)
+                vel = st.vel[s].reshape(D, -1).T
                 alive = st.alive[s].reshape(-1)
-                lp, lv, la, d = tl.bucket(gpos, vel, alive, self.ts)
+                lp, lv, la, d_n = tl.bucket(gpos, vel, alive, self.ts)
+                lp = jnp.moveaxis(lp, -1, 0)
+                lv = jnp.moveaxis(lv, -1, 0)
             lposs.append(lp); vels.append(lv); alives.append(la)
-            dropped = dropped + d.astype(jnp.int32)
+            dropped = dropped + d_n.astype(jnp.int32)
         return TiledState(lpos=jnp.stack(lposs), vel=jnp.stack(vels),
                           alive=jnp.stack(alives)), dropped
 
     def to_particles(self, st: TiledState) -> Particles:
         """Convert back to the (cell, frac) layout for IO/diagnostics."""
-        gpos = jax.vmap(lambda lp: tl.global_positions(lp, self.ts))(st.lpos)
+        lp = jnp.moveaxis(st.lpos, 1, -1)          # (S, NT, B, D)
+        gpos = jax.vmap(lambda a: tl.global_positions(a, self.ts))(lp)
         S = gpos.shape[0]
         N = self.ts.NT * self.ts.B
         gp = gpos.reshape(S, N, self.ts.n_dims)
@@ -145,8 +169,8 @@ class TiledSimulation(Simulation):
         frac = gp - jnp.floor(gp)
         L = jnp.asarray(self.ts.grid, jnp.int32)
         cell = jnp.mod(cell, L)
-        return Particles(cell=cell, frac=frac,
-                         vel=st.vel.reshape(S, N, self.ts.n_dims),
+        vel = jnp.moveaxis(st.vel, 1, -1).reshape(S, N, self.ts.n_dims)
+        return Particles(cell=cell, frac=frac, vel=vel,
                          alive=st.alive.reshape(S, N))
 
     # --------------------------------------------------------------- step
@@ -159,7 +183,8 @@ class TiledSimulation(Simulation):
                 r = ptl.deposit_to_grid(st.lpos[s], st.alive[s], q, self.ts,
                                         mxu_dtype=self._mxu_dtype)
             else:
-                r = tl.deposit_tiled(st.lpos[s], st.alive[s], q, self.ts)
+                r = tl.deposit_tiled(jnp.moveaxis(st.lpos[s], 0, -1),
+                                     st.alive[s], q, self.ts)
             rho = r if rho is None else rho + r
         rho = rho.astype(self.spec.dtype)
         phi = self.solver(rho)
@@ -174,31 +199,35 @@ class TiledSimulation(Simulation):
         # dense-contraction gather: the per-particle XLA gather lowers to a
         # near-serial loop on TPU (measured 315 ms vs 35 ms at 64^3/4.2M);
         # the pallas kernel additionally keeps the intermediates in VMEM
+        # and returns component planes (C, NT, B) — transpose-free on both
+        # sides
         if self._backend == "pallas":
             from .ops import pallas_tiled as ptl
             P = self.ts.P
             ep5 = E_pad.reshape((self.ts.NT,) + (P,) * 3 + (E.shape[-1],))
-            gather = lambda e, lp, ts: ptl.gather(
-                ep5, lp, ts, mxu_dtype=self._mxu_dtype)
+            gather = lambda xyz: ptl.gather(ep5, xyz, self.ts,
+                                            mxu_dtype=self._mxu_dtype)
         elif self._gather_mode == "mxu":
-            gather = tl.gather_tiled_mxu
+            gather = lambda xyz: jnp.moveaxis(tl.gather_tiled_mxu(
+                E_pad, jnp.moveaxis(xyz, 0, -1), self.ts), -1, 0)
         else:
-            gather = tl.gather_tiled
+            gather = lambda xyz: jnp.moveaxis(tl.gather_tiled(
+                E_pad, jnp.moveaxis(xyz, 0, -1), self.ts), -1, 0)
         vels, kes = [], []
         for s in range(st.lpos.shape[0]):
-            Ep = gather(E_pad, st.lpos[s], self.ts)
+            Ep = gather(st.lpos[s])                    # (D, NT, B)
             dv = qm[s] * Ep
-            v_dot = jnp.sum(st.vel[s] * (st.vel[s] + dv), axis=-1)
+            v_dot = jnp.sum(st.vel[s] * (st.vel[s] + dv), axis=0)
             v_dot = jnp.where(st.alive[s], v_dot, 0.0)
             kes.append(0.5 * self.params.mass[s] * jnp.sum(v_dot))
             vels.append(st.vel[s]
-                        + jnp.where(st.alive[s][..., None], dv, 0.0))
+                        + jnp.where(st.alive[s][None], dv, 0.0))
         return (TiledState(lpos=st.lpos, vel=jnp.stack(vels),
                            alive=st.alive), jnp.stack(kes))
 
     def _out_of_margin(self, st: TiledState) -> jax.Array:
         lo, hi = -float(self.ts.M), float(self.ts.T + self.ts.M)
-        bad = jnp.any((st.lpos < lo) | (st.lpos >= hi), axis=-1) & st.alive
+        bad = jnp.any((st.lpos < lo) | (st.lpos >= hi), axis=1) & st.alive
         return jnp.sum(bad).astype(jnp.int32)
 
     def _tiled_half_kick(self, st: TiledState):

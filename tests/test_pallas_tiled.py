@@ -25,7 +25,8 @@ def setup():
 def test_pallas_deposit_matches_xla(setup):
     ts, lp, la, _ = setup
     rho_ref = np.asarray(deposit_tiled(lp, la, 1.3, ts))
-    rho_pl = np.asarray(pt.deposit_to_grid(lp, la, 1.3, ts, interpret=True))
+    xyz = jnp.moveaxis(lp, -1, 0)
+    rho_pl = np.asarray(pt.deposit_to_grid(xyz, la, 1.3, ts, interpret=True))
     assert np.abs(rho_ref - rho_pl).max() < 1e-5
 
 
@@ -34,8 +35,10 @@ def test_pallas_gather_matches_xla(setup):
     E = jnp.asarray(rng.normal(size=(16, 16, 16, 3)).astype(np.float32))
     Ep = pad_tiles(E, ts)
     g_ref = np.asarray(gather_tiled(Ep, lp, ts))
+    xyz = jnp.moveaxis(lp, -1, 0)
     g_pl = np.asarray(pt.gather(
-        Ep.reshape(ts.NT, ts.P, ts.P, ts.P, 3), lp, ts, interpret=True))
+        Ep.reshape(ts.NT, ts.P, ts.P, ts.P, 3), xyz, ts, interpret=True))
+    g_pl = np.moveaxis(g_pl, 0, -1)
     mask = np.asarray(la)
     assert np.abs(g_ref - g_pl)[mask].max() < 1e-5
 
