@@ -171,12 +171,14 @@ def merge(frank: jax.Array, alive: jax.Array, inc: jax.Array,
 
 def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
                  ntiles: Tuple[int, ...], d: int, T: int, K: int,
-                 interpret: bool = False):
+                 interpret: bool = False, roll_fn=None):
     """One dimension's ±1-tile transfer on component planes.
 
     planes: (x, y, z, vx, vy, vz) each (NT, B) f32, tile-local coords;
     alive (NT, B) f32.  Returns (planes', alive').  Leavers beyond K per
     face per tile are dropped (count by alive-sum conservation outside).
+    roll_fn(x, shift, axis) overrides the buffer wrap for sharded tile
+    grids (neighbor-device fetch).
     """
     NT, B = alive.shape
     coord = planes[d]
@@ -196,10 +198,11 @@ def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
 
     # roll to neighbors: minus-going rows arrive at tile-1 along d, plus
     # at tile+1 (periodic), entering in the receiver's local frame
+    roll = roll_fn or (lambda a, s, ax: jnp.roll(a, s, axis=ax))
     nt = tuple(ntiles)
     b5 = bufs.reshape(nt + (8, 2 * K))
-    minus = jnp.roll(b5[..., :K], -1, axis=d)
-    plus = jnp.roll(b5[..., K:], 1, axis=d)
+    minus = roll(b5[..., :K], -1, d)
+    plus = roll(b5[..., K:], 1, d)
     inc = jnp.concatenate([minus, plus], axis=-1).reshape(NT, 8, 2 * K)
     shift = jnp.concatenate([jnp.full((K,), float(T), jnp.float32),
                              jnp.full((K,), -float(T), jnp.float32)])
@@ -216,13 +219,15 @@ def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
 
 def rebucket_exchange_planes(planes: Tuple[jax.Array, ...], alive: jax.Array,
                              ntiles: Tuple[int, ...], T: int, K: int,
-                             interpret: bool = False):
+                             interpret: bool = False, roll_fns=None):
     """Full 3D re-bucket on component planes: sequential per-dim sweeps
     (corner flows ride two sweeps, like the reference's per-dim migration).
-    Returns (planes', alive', n_dropped)."""
+    Returns (planes', alive', n_dropped).  roll_fns: per-dim buffer-wrap
+    overrides for sharded tile grids."""
     n0 = jnp.sum(alive.astype(jnp.int32))
     for d in range(3):
-        planes, alive = exchange_dim(planes, alive, ntiles, d, T, K,
-                                     interpret=interpret)
+        planes, alive = exchange_dim(
+            planes, alive, ntiles, d, T, K, interpret=interpret,
+            roll_fn=roll_fns[d] if roll_fns else None)
     dropped = n0 - jnp.sum(alive.astype(jnp.int32))
     return planes, alive, dropped

@@ -246,10 +246,16 @@ def _deposit_tiles(lpos: jax.Array, value: jax.Array, ts: TileSpec) -> jax.Array
     return out.reshape((NT,) + (P,) * D)
 
 
-def _fold_axis(x: jax.Array, tile_ax: int, node_ax: int, ts: TileSpec) -> jax.Array:
+def _fold_axis(x: jax.Array, tile_ax: int, node_ax: int, ts: TileSpec,
+               roll_fn=None) -> jax.Array:
     """Overlap-add one dimension: node range [-M, T+M] -> [0, T) with the
     M low planes rolled to the previous tile and the M+1 high planes rolled
-    to the next (periodic tile wrap)."""
+    to the next (periodic tile wrap).
+
+    roll_fn(x, shift, axis) overrides the tile-axis wrap — the sharded
+    path substitutes a neighbor-device fetch (parallel.halo.shifted_tiles)
+    for the plain periodic jnp.roll."""
+    roll = roll_fn or (lambda a, s, ax: jnp.roll(a, s, axis=ax))
     M, T = ts.M, ts.T
     n = x.shape[node_ax]
     if M > 0:
@@ -257,7 +263,7 @@ def _fold_axis(x: jax.Array, tile_ax: int, node_ax: int, ts: TileSpec) -> jax.Ar
         # tile's node offset T+j-M, i.e. index T-M+j after dropping lows
         low = jax.lax.slice_in_dim(x, 0, M, axis=node_ax)
         x = jax.lax.slice_in_dim(x, M, n, axis=node_ax)   # offsets 0..T+M
-        add = jnp.roll(low, -1, axis=tile_ax)
+        add = roll(low, -1, tile_ax)
         x = x.at[tuple(
             slice(None) if i != node_ax else slice(T - M, T)
             for i in range(x.ndim))].add(add)
@@ -265,20 +271,22 @@ def _fold_axis(x: jax.Array, tile_ax: int, node_ax: int, ts: TileSpec) -> jax.Ar
     # planes at offsets T..T+M are the next tile's offsets 0..M
     high = jax.lax.slice_in_dim(x, T, n, axis=node_ax)
     body = jax.lax.slice_in_dim(x, 0, T, axis=node_ax)
-    add = jnp.roll(high, 1, axis=tile_ax)
+    add = roll(high, 1, tile_ax)
     body = body.at[tuple(
         slice(None) if i != node_ax else slice(0, M + 1)
         for i in range(x.ndim))].add(add)
     return body
 
 
-def fold_to_global(tiles: jax.Array, ts: TileSpec) -> jax.Array:
-    """(NT, P..P) padded tile blocks -> (X, Y, ...) global grid."""
+def fold_to_global(tiles: jax.Array, ts: TileSpec, roll_fns=None) -> jax.Array:
+    """(NT, P..P) padded tile blocks -> (X, Y, ...) global grid.
+    roll_fns: optional per-dim tile-wrap overrides (sharded halos)."""
     D = ts.n_dims
     nt = ts.ntiles
     x = tiles.reshape(nt + (ts.P,) * D)
     for d in range(D):
-        x = _fold_axis(x, tile_ax=d, node_ax=D + d, ts=ts)
+        x = _fold_axis(x, tile_ax=d, node_ax=D + d, ts=ts,
+                       roll_fn=roll_fns[d] if roll_fns else None)
     # interleave (n0, n1, .., T, T, ..) -> (n0, T, n1, T, ...)
     perm = []
     for d in range(D):
@@ -300,9 +308,10 @@ def deposit_tiled(lpos: jax.Array, alive: jax.Array, charge,
 # Gather: padded tile blocks + per-particle XLA gather (exact local weights)
 # ---------------------------------------------------------------------------
 
-def pad_tiles(field: jax.Array, ts: TileSpec) -> jax.Array:
+def pad_tiles(field: jax.Array, ts: TileSpec, roll_fns=None) -> jax.Array:
     """Global (grid..., C) or (grid...) -> (NT, P.., [C]) padded blocks
-    (periodic).  Sequential per-dim so corners are correct."""
+    (periodic).  Sequential per-dim so corners are correct.
+    roll_fns: optional per-dim tile-wrap overrides (sharded halos)."""
     D = ts.n_dims
     nt = ts.ntiles
     vec = field.ndim == D + 1
@@ -319,12 +328,14 @@ def pad_tiles(field: jax.Array, ts: TileSpec) -> jax.Array:
         perm.append(2 * D)
     x = jnp.transpose(x, perm)
     for d in range(D):
+        roll = ((roll_fns[d] if roll_fns else None)
+                or (lambda a, s, ax: jnp.roll(a, s, axis=ax)))
         node_ax = D + d
         lo = jax.lax.slice_in_dim(x, x.shape[node_ax] - ts.M,
                                   x.shape[node_ax], axis=node_ax)
-        lo = jnp.roll(lo, 1, axis=d)
+        lo = roll(lo, 1, d)
         hi = jax.lax.slice_in_dim(x, 0, ts.M + 1, axis=node_ax)
-        hi = jnp.roll(hi, -1, axis=d)
+        hi = roll(hi, -1, d)
         x = jnp.concatenate([lo, x, hi], axis=node_ax)
     x = x.reshape((ts.NT,) + (ts.P,) * D + ((C,) if vec else ()))
     return x

@@ -53,6 +53,34 @@ def pad_plus(block: jax.Array, axes: Sequence[str], n_sub: Sequence[int]) -> jax
     return block
 
 
+def shifted_tiles(x: jax.Array, axis: int, shift: int, mesh_axis: str,
+                  n: int) -> jax.Array:
+    """Roll a per-tile array one step along a local tile axis, with the
+    wrap plane fetched from the neighbor device (periodic globally).
+
+    The single-device tiled layout moves inter-tile data with ``jnp.roll``
+    along a tile axis; under a device mesh, the plane that wraps around
+    must instead come from the ±1 neighbor along the owning mesh axis.
+    ``n == 1`` degenerates to the plain periodic roll.
+
+    shift=+1: data moves to higher tiles; plane 0 receives the -1-device
+    neighbor's last plane.  shift=-1: the converse.
+    """
+    L = x.shape[axis]
+    y = jnp.roll(x, shift, axis=axis)
+    if n <= 1:
+        return y
+    if shift == 1:
+        plane = lax.slice_in_dim(x, L - 1, L, axis=axis)
+        plane = lax.ppermute(plane, mesh_axis, _perm(n, 1))
+        rest = lax.slice_in_dim(y, 1, L, axis=axis)
+        return jnp.concatenate([plane, rest], axis=axis)
+    plane = lax.slice_in_dim(x, 0, 1, axis=axis)
+    plane = lax.ppermute(plane, mesh_axis, _perm(n, -1))
+    rest = lax.slice_in_dim(y, 0, L - 1, axis=axis)
+    return jnp.concatenate([rest, plane], axis=axis)
+
+
 def fold_plus(block: jax.Array, axes: Sequence[str], n_sub: Sequence[int]) -> jax.Array:
     """Deposition halo-add: block has one overflow plane at the high end of
     every spatial dim (shape *t+1[, C]); fold each overflow plane into the

@@ -34,8 +34,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 try:
     from jax import shard_map  # jax >= 0.7 stable API
     def _shard_map(f, mesh, in_specs, out_specs):
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # metadata, and the tiled kernels run inside these regions
         return shard_map(f, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs)
+                         out_specs=out_specs, check_vma=False)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _sm
 
@@ -254,9 +256,13 @@ def make_simulation(cfg: PincConfig, seed: int = 1, devices=None) -> Simulation:
     methods:layout = tiled; plain single-block otherwise."""
     from ..config import required_np
     np_needed = required_np(cfg)
+    tiled = cfg.get_str("methods:layout", "flat").lower() == "tiled"
     if np_needed > 1:
+        if tiled:
+            from .tiled_pic import ShardedTiledSimulation
+            return ShardedTiledSimulation(cfg, seed=seed, devices=devices)
         return ShardedSimulation(cfg, seed=seed, devices=devices)
-    if cfg.get_str("methods:layout", "flat").lower() == "tiled":
+    if tiled:
         from ..tiled_sim import TiledSimulation
         return TiledSimulation(cfg, seed=seed)
     return Simulation(cfg, seed=seed)

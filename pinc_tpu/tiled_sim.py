@@ -159,7 +159,13 @@ class TiledSimulation(Simulation):
                           alive=jnp.stack(alives)), dropped
 
     def to_particles(self, st: TiledState) -> Particles:
-        """Convert back to the (cell, frac) layout for IO/diagnostics."""
+        """Convert back to the (cell, frac) layout for IO/diagnostics.
+        Accepts flat (S, D, NT, B) or tile-grid (S, D, *nt, B) states
+        (the sharded subclass keeps tile axes unflattened)."""
+        S, D = st.lpos.shape[:2]
+        st = TiledState(lpos=st.lpos.reshape(S, D, -1, st.lpos.shape[-1]),
+                        vel=st.vel.reshape(S, D, -1, st.vel.shape[-1]),
+                        alive=st.alive.reshape(S, -1, st.alive.shape[-1]))
         lp = jnp.moveaxis(st.lpos, 1, -1)          # (S, NT, B, D)
         gpos = jax.vmap(lambda a: tl.global_positions(a, self.ts))(lp)
         S = gpos.shape[0]

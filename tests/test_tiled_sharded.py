@@ -1,0 +1,113 @@
+"""Sharded x tiled composition: the tiled layout over an 8-device mesh
+must reproduce the single-device tiled path (same deck, same seed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinc_tpu.config import PincConfig
+from pinc_tpu.parallel.pic import make_simulation
+from pinc_tpu.parallel.tiled_pic import ShardedTiledSimulation
+from pinc_tpu.tiled_sim import TiledSimulation
+
+
+def _deck(nsub, true):
+    return f"""
+[time]
+nTimeSteps = 4
+timeStep = 0.2
+[grid]
+nDims = 3
+nSubdomains = {','.join(map(str, nsub))}
+trueSize = {','.join(map(str, true))}
+stepSize = 1
+boundaries = PERIODIC
+[population]
+nSpecies = 2
+nParticles = 4 pc
+nAlloc = 4 pc
+charge = -1,1
+mass = 1,1836
+multiplicity = auto
+thermalVelocity = 0.08,0.002
+drift = 0.05
+[methods]
+mode = regular
+poisson = sSolve
+acc = puAcc3D1KE
+distr = puDistr3D1
+migrate = puExtractEmigrantsND
+layout = tiled
+[tiles]
+tileSize = 4
+margin = 1
+rebucketEvery = 2
+"""
+
+
+@pytest.fixture(scope="module")
+def pair(cpu_devices):
+    single = TiledSimulation(
+        PincConfig.from_string(_deck((1, 1, 1), (16, 16, 16))), seed=7)
+    sharded = ShardedTiledSimulation(
+        PincConfig.from_string(_deck((2, 2, 2), (8, 8, 8))), seed=7,
+        devices=cpu_devices[:8])
+    return single, sharded
+
+
+def test_factory_routes_to_sharded_tiled(cpu_devices):
+    sim = make_simulation(
+        PincConfig.from_string(_deck((2, 2, 2), (8, 8, 8))), seed=1,
+        devices=cpu_devices[:8])
+    assert isinstance(sim, ShardedTiledSimulation)
+
+
+def test_sharded_tiled_matches_single(pair):
+    single, sharded = pair
+    # identical global ICs (same seed, same global grid)
+    assert int(np.asarray(single.state.alive).sum()) == \
+        int(np.asarray(sharded.state.alive).sum())
+
+    n = 4
+    run1 = single.make_scan_steps(n)
+    runN = sharded.make_scan_steps(n)
+    _, (ke1, pe1) = run1(single.state)
+    _, (keN, peN) = runN(sharded.state)
+    ke1, keN = np.asarray(ke1), np.asarray(keN)
+    pe1, peN = np.asarray(pe1), np.asarray(peN)
+    assert np.allclose(ke1, keN, rtol=1e-4, atol=1e-7), (ke1, keN)
+    assert np.allclose(pe1, peN, rtol=1e-3, atol=1e-9), (pe1, peN)
+
+
+def test_sharded_rebucket_conserves_across_devices(pair):
+    _, sharded = pair
+    st = sharded.state
+    n_before = int(np.asarray(st.alive).sum())
+    rng = np.random.default_rng(0)
+    drift = jnp.asarray(rng.uniform(-0.9, 0.9, st.lpos.shape)
+                        .astype(np.float32))
+    # _rebucket_jit donates its argument: hand it copies so the
+    # module-scoped fixture state survives
+    st2 = type(st)(lpos=st.lpos + drift * st.alive[:, None].astype(
+        jnp.float32), vel=jnp.copy(st.vel), alive=jnp.copy(st.alive))
+    st3, dropped = sharded._rebucket_jit(st2)
+    assert int(dropped) == 0
+    assert int(np.asarray(st3.alive).sum()) == n_before
+    lp = np.asarray(st3.lpos)
+    la = np.asarray(st3.alive)
+    for s in range(lp.shape[0]):
+        for d in range(3):
+            vals = lp[s, d][la[s]]
+            assert vals.min() >= 0.0 and vals.max() < sharded.ts.T
+
+
+def test_sharded_tiled_run_writes_energy(pair):
+    _, sharded = pair
+    hist = sharded.run(progress_every=0)
+    ke = hist["kinetic"].sum(axis=1)
+    pe = hist["potential"]
+    tot = ke + pe
+    assert np.all(np.isfinite(tot))
+    # short warm run: total energy moves by < a few percent
+    assert abs(tot[-1] - tot[0]) / abs(tot[0]) < 0.05
