@@ -86,6 +86,12 @@ class ShardedSimulation(Simulation):
         self.migration_cap = min(
             cfg.get_int("parallel:migrationcap", K_default), self.cap_local)
         self.particles = self._distribute(self.particles)
+        from ..solvers.spectral import SpectralSolver
+        self._pencil = None
+        if isinstance(self.solver, SpectralSolver) and self._use_pencil():
+            from .pencil_fft import PencilSpectralSolver
+            self._pencil = PencilSpectralSolver(
+                self.ctx.global_size, self.ctx, dtype=self.spec.dtype)
         self._step_jit = jax.jit(self._sharded_step, donate_argnums=(0,))
         self._half_kick_jit = jax.jit(self._sharded_half_kick,
                                       donate_argnums=(0,))
@@ -205,7 +211,9 @@ class ShardedSimulation(Simulation):
 
         particles, rho, lost = deposit(particles)
         from ..solvers.spectral import SpectralSolver
-        if isinstance(self.solver, SpectralSolver):
+        if self._pencil is not None:
+            phi = self._pencil(rho)
+        elif isinstance(self.solver, SpectralSolver):
             # XLA cannot yet partition an FFT over these meshes (the CPU
             # backend rejects the partitioner's layouts outright): gather
             # rho and run the (cheap, O(N log N)) transform replicated on
@@ -229,6 +237,16 @@ class ShardedSimulation(Simulation):
         return StepOutput(particles, rho, phi, E,
                           Diagnostics(kin_energy=ke, pot_energy=pe,
                                       n_lost=lost))
+
+    def _use_pencil(self) -> bool:
+        """Distributed pencil FFT: opt-in via parallel:pencilFFT, or
+        automatic once the grid is too large to replicate (> 64 MB f32)."""
+        ctx = self.ctx
+        if len(ctx.axes) != 3 or any(
+                g % ctx.n_devices for g in ctx.global_size[:2]):
+            return False
+        big = math.prod(ctx.global_size) * 4 > (64 << 20)
+        return self.cfg.get_bool("parallel:pencilfft", big)
 
     def _sharded_half_kick(self, particles: Particles) -> StepOutput:
         return self._sharded_pipeline(particles, do_move=False, half=True)

@@ -69,6 +69,12 @@ class ShardedTiledSimulation(TiledSimulation):
             vel=P(None, None, *ctx.axes, None),
             alive=P(None, *ctx.axes, None))
         self.state = self._shard_state(self.state)
+        from ..solvers.spectral import SpectralSolver
+        self._pencil = None
+        if isinstance(self.solver, SpectralSolver) and self._want_pencil():
+            from .pencil_fft import PencilSpectralSolver
+            self._pencil = PencilSpectralSolver(
+                ctx.global_size, ctx, dtype=self.spec.dtype)
         self._tstep_jit = jax.jit(self._sharded_tiled_step,
                                   donate_argnums=(0,))
         self._thalf_jit = jax.jit(self._sharded_tiled_half_kick,
@@ -201,6 +207,8 @@ class ShardedTiledSimulation(TiledSimulation):
         ctx = self.ctx
         fspec = ctx.field_spec()
         if isinstance(self.solver, SpectralSolver):
+            if self._pencil is not None:
+                return self._pencil(rho)
             rep = P(*(None,) * len(ctx.axes))
             rho_rep = lax.with_sharding_constraint(rho, ctx.sharding(rep))
             phi = _shard_map(self.solver, ctx.mesh, in_specs=(rep,),
@@ -208,6 +216,16 @@ class ShardedTiledSimulation(TiledSimulation):
         else:
             phi = self.solver(rho)
         return lax.with_sharding_constraint(phi, ctx.sharding(fspec))
+
+    def _want_pencil(self) -> bool:
+        """Distributed pencil FFT: opt-in, or automatic once the grid is
+        too large to replicate cheaply (> 64 MB f32)."""
+        ctx = self.ctx
+        if len(ctx.axes) != 3 or any(
+                g % ctx.n_devices for g in ctx.global_size[:2]):
+            return False
+        big = math.prod(ctx.global_size) * 4 > (64 << 20)
+        return self.cfg.get_bool("parallel:pencilfft", big)
 
     def _pipeline(self, st: TiledState, do_move: bool, half: bool):
         ctx = self.ctx
