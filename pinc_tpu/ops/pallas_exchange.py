@@ -123,7 +123,10 @@ def _merge_kernel(frank_ref, alive_ref, inc_ref, *plane_refs_out, K, CB):
     n_p = jnp.sum(inc[6, K:]).astype(jnp.int32)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (K2, 1), 0)
     vrank = jnp.where(iota_s < K, iota_s, iota_s - K + n_m)  # (2K, 1)
-    valid = jnp.where(iota_s < K, iota_s < n_m, iota_s - K < n_p)
+    # boolean-armed jnp.where crashes the Mosaic compiler (tpu_compile
+    # helper exit 1, bisected 2026-08-16) — compose with &/| instead
+    valid = (((iota_s < K) & (iota_s < n_m))
+             | ((iota_s >= K) & (iota_s - K < n_p)))
 
     frank = frank_ref[0, 0, :]                          # (CB,) int32, -1=used
     onehot = ((vrank == frank[None, :]) & valid).astype(jnp.float32)

@@ -80,7 +80,8 @@ class ShardedTiledSimulation(TiledSimulation):
         self._thalf_jit = jax.jit(self._sharded_tiled_half_kick,
                                   donate_argnums=(0,))
         self._rebucket_jit = jax.jit(self._sharded_rebucket,
-                                     donate_argnums=(0,))
+                                     donate_argnums=(0,),
+                                     static_argnames=("species",))
         msg(STATUS, "sharded tiled layout: %s device mesh over %s tiles",
             ctx.n_subdomains, self.ts.ntiles)
 
@@ -169,11 +170,10 @@ class ShardedTiledSimulation(TiledSimulation):
         return (TiledState(lpos=st.lpos, vel=jnp.stack(vels),
                            alive=st.alive), jnp.stack(kes))
 
-    def _local_rebucket(self, st):
+    def _local_rebucket(self, st, species=None):
         ln = self.ts_local
         D = ln.n_dims
         NTl, B = ln.NT, ln.B
-        roll_fns = self._roll_fns()
         # the exchange works on the local tile grid; only the buffer wrap
         # crosses devices
         lnt = ln.ntiles
@@ -183,23 +183,26 @@ class ShardedTiledSimulation(TiledSimulation):
             for d in range(D)]
         from ..ops import pallas_exchange as pex
         interp = jax.devices()[0].platform == "cpu"
-        lposs, vels, alives = [], [], []
+        S = st.lpos.shape[0]
+        species = tuple(range(S)) if species is None else tuple(species)
+        lpos, vel, alive = st.lpos, st.vel, st.alive
         dropped = jnp.zeros((), jnp.int32)
-        for s in range(st.lpos.shape[0]):
-            planes = tuple(st.lpos[s, d].reshape(NTl, B) for d in range(D)) \
-                + tuple(st.vel[s, d].reshape(NTl, B) for d in range(D))
+        for s in species:
+            planes = tuple(lpos[s, d].reshape(NTl, B) for d in range(D)) \
+                + tuple(vel[s, d].reshape(NTl, B) for d in range(D))
             planes, al, d_n = pex.rebucket_exchange_planes(
-                planes, st.alive[s].reshape(NTl, B).astype(jnp.float32),
+                planes, alive[s].reshape(NTl, B).astype(jnp.float32),
                 lnt, ln.T, K=self._exchange_cap, interpret=interp,
                 roll_fns=buf_rolls)
-            lposs.append(jnp.stack(planes[:D]).reshape(st.lpos[s].shape))
-            vels.append(jnp.stack(planes[D:]).reshape(st.vel[s].shape))
-            alives.append((al > 0.5).reshape(st.alive[s].shape))
+            lpos = lpos.at[s].set(
+                jnp.stack(planes[:D]).reshape(lpos[s].shape))
+            vel = vel.at[s].set(
+                jnp.stack(planes[D:]).reshape(vel[s].shape))
+            alive = alive.at[s].set((al > 0.5).reshape(alive[s].shape))
             dropped = dropped + d_n
         for ax in self.ctx.axes:
             dropped = lax.psum(dropped, ax)
-        return TiledState(lpos=jnp.stack(lposs), vel=jnp.stack(vels),
-                          alive=jnp.stack(alives)), dropped
+        return TiledState(lpos=lpos, vel=vel, alive=alive), dropped
 
     # ------------------------------------------------------------ the step
     def _solve(self, rho):
@@ -260,31 +263,15 @@ class ShardedTiledSimulation(TiledSimulation):
     def _sharded_tiled_step(self, st: TiledState):
         return self._pipeline(st, do_move=True, half=False)
 
-    def _sharded_rebucket(self, st: TiledState):
-        return _shard_map(self._local_rebucket, self.ctx.mesh,
-                          in_specs=(self._state_spec,),
+    def _sharded_rebucket(self, st: TiledState, species=None):
+        return _shard_map(partial(self._local_rebucket, species=species),
+                          self.ctx.mesh, in_specs=(self._state_spec,),
                           out_specs=(self._state_spec, P()))(st)
 
     # run()/make_scan_steps reuse TiledSimulation's drivers through the
-    # _tstep_jit/_thalf_jit/_rebucket_jit bindings set in __init__; the
-    # in-scan rebucket calls the sharded variant:
-    def make_scan_steps(self, n: int):
-        R = self.rebucket_every
+    # _step_for_scan/_rebucket hooks:
+    def _step_for_scan(self, st: TiledState):
+        return self._sharded_tiled_step(st)
 
-        def body(carry, i):
-            st = carry
-            st, rho, phi, E, diag = self._sharded_tiled_step(st)
-            def do_rb(s):
-                s2, _ = self._sharded_rebucket(s)
-                return s2
-            st = jax.lax.cond((i + 1) % R == 0, do_rb, lambda s: s, st)
-            return st, (diag.kin_energy, diag.pot_energy)
-
-        @jax.jit
-        def run_n(st, rho_obj=None):
-            return jax.lax.scan(body, st, jnp.arange(n))
-        return run_n
-
-    def _rebucket(self, st: TiledState):
-        # host-level override used by run(); jitted via _rebucket_jit
-        return self._sharded_rebucket(st)
+    def _rebucket(self, st: TiledState, species=None):
+        return self._sharded_rebucket(st, species=species)

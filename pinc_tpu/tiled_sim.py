@@ -58,19 +58,27 @@ class TiledSimulation(Simulation):
 
         nd = self.spec.n_dims
         T = cfg.get_int("tiles:tilesize", 8)
-        # margin default 2: Mosaic pads the contraction M-dim to sublane
-        # multiples of 8, so P in 9..16 costs the same MXU time — a larger
-        # margin buys a longer re-bucket cadence for free (the re-bucket
-        # sort, not the kernels, is the marginal cost)
+        # margin default 1 when the velocity scale allows a re-bucket
+        # cadence >= 4: at M=1 (T=8) the P^2=121 weight kron fits ONE
+        # 128-lane MXU tile, so deposit/gather stream each particle slot
+        # exactly once (measured 59->51 ms f32, 50->41 bf16 per slab vs
+        # M=2); re-bucketing is cheap (exchange kernels) and the
+        # out-of-margin counter triggers early re-buckets when beaten
         v = np.abs(np.asarray(self.particles.vel))
         v = v[np.asarray(self.particles.alive)]
         vmax_est = max(float(np.percentile(v, 99.9)) * 1.5
                        if v.size else 0.0, 1e-3)
-        M = cfg.get_int("tiles:margin", 2)
-        slack = cfg.get_double("tiles:slack", 1.5)
+        M = cfg.get_int("tiles:margin", 1 if 1.0 / vmax_est >= 4 else 2)
+        # kernel MXU+VPU cycles scale with the SLOT count NT*B, not the
+        # live count, so head-room is paid for every step: 1.25 default,
+        # with overflow counted and rebucketing cheap enough to trigger
+        # early; B rounds to 1024 (=8 rows x 128 lanes) at production
+        # sizes so the per-row lane count stays a 128-multiple
+        slack = cfg.get_double("tiles:slack", 1.25)
         # per-species particles per tile
         ppt = self.particles.capacity * (T ** nd) / self.spec.global_volume
-        B = int(math.ceil(ppt * slack / 128.0)) * 128
+        quantum = 1024 if ppt * slack >= 2048 else 128
+        B = int(math.ceil(ppt * slack / quantum)) * quantum
         self.ts = tl.TileSpec(grid=self.spec.global_size, T=T, M=M, B=B,
                               chunk=cfg.get_int("tiles:chunk", 32))
         self.ts.validate()
@@ -78,11 +86,24 @@ class TiledSimulation(Simulation):
         # re-bucket cadence: default from the actual velocity scale (99.9th
         # percentile of the initial speeds + drift head-room) rather than
         # the conservative population:maxVel bound — the out-of-margin
-        # counter triggers an early re-bucket if the estimate is beaten
+        # counter triggers an early re-bucket if the estimate is beaten.
+        # PER SPECIES: ions (mass ratio ~2000) drift ~40x slower than
+        # electrons, so their buckets stay valid ~40x longer — scheduling
+        # them independently nearly halves the re-bucket bill
+        vel_np = np.abs(np.asarray(self.particles.vel))
+        alive_np = np.asarray(self.particles.alive)
+        vmax_s = []
+        for s in range(self.particles.n_species):
+            vs = vel_np[s][alive_np[s]]
+            vmax_s.append(max(float(np.percentile(vs, 99.9)) * 1.5
+                              if vs.size else 0.0, 1e-3))
         if "tiles:rebucketevery" in cfg:
             self.rebucket_every = cfg.get_int("tiles:rebucketevery")
+            self.rebucket_every_s = [self.rebucket_every] * len(vmax_s)
         else:
-            self.rebucket_every = max(1, min(int(M / vmax_est), 200))
+            self.rebucket_every_s = [
+                max(1, min(int(M / v), 200)) for v in vmax_s]
+            self.rebucket_every = min(self.rebucket_every_s)
         self._gather_mode = cfg.get_str("tiles:gather", "mxu").lower()
         default_backend = ("pallas" if (nd == 3 and
                                         jax.devices()[0].platform != "cpu")
@@ -108,7 +129,8 @@ class TiledSimulation(Simulation):
         self.state = self._bucket_all(self.particles)
         self._tstep_jit = jax.jit(self._tiled_step, donate_argnums=(0,))
         self._thalf_jit = jax.jit(self._tiled_half_kick, donate_argnums=(0,))
-        self._rebucket_jit = jax.jit(self._rebucket, donate_argnums=(0,))
+        self._rebucket_jit = jax.jit(self._rebucket, donate_argnums=(0,),
+                                     static_argnames=("species",))
         msg(STATUS, "tiled layout: %s tiles of %d^%d cells, bucket=%d, "
             "margin=%d, rebucket every %d steps",
             self.ts.ntiles, T, nd, B, M, self.rebucket_every)
@@ -126,37 +148,43 @@ class TiledSimulation(Simulation):
         return TiledState(lpos=jnp.stack(lposs), vel=jnp.stack(vels),
                           alive=jnp.stack(alives))
 
-    def _rebucket(self, st: TiledState) -> Tuple[TiledState, jax.Array]:
-        S = st.lpos.shape[0]
+    def _rebucket_one(self, lpos_s, vel_s, alive_s):
+        """Re-bucket a single species: (D,NT,B)x2 + (NT,B) -> same +
+        dropped count."""
         D = self.ts.n_dims
-        lposs, vels, alives = [], [], []
+        if self._rebucket_mode == "exchange":
+            # fused plane kernels: per-dim extract/merge selection
+            # matmuls, no sort, no full-payload XLA sweeps
+            from .ops import pallas_exchange as pex
+            planes = tuple(lpos_s[d] for d in range(D)) + tuple(
+                vel_s[d] for d in range(D))
+            planes, al, d_n = pex.rebucket_exchange_planes(
+                planes, alive_s.astype(jnp.float32),
+                self.ts.ntiles, self.ts.T, K=self._exchange_cap,
+                interpret=jax.devices()[0].platform == "cpu")
+            return (jnp.stack(planes[:D]), jnp.stack(planes[D:]),
+                    al > 0.5, d_n.astype(jnp.int32))
+        gpos = tl.global_positions(
+            jnp.moveaxis(lpos_s, 0, -1), self.ts).reshape(-1, D)
+        vel = vel_s.reshape(D, -1).T
+        lp, lv, la, d_n = tl.bucket(gpos, vel, alive_s.reshape(-1), self.ts)
+        return (jnp.moveaxis(lp, -1, 0), jnp.moveaxis(lv, -1, 0), la,
+                d_n.astype(jnp.int32))
+
+    def _rebucket(self, st: TiledState,
+                  species=None) -> Tuple[TiledState, jax.Array]:
+        """Re-bucket the given species tuple (default: all)."""
+        S = st.lpos.shape[0]
+        species = tuple(range(S)) if species is None else tuple(species)
+        lpos, vel, alive = st.lpos, st.vel, st.alive
         dropped = jnp.zeros((), jnp.int32)
-        for s in range(S):
-            if self._rebucket_mode == "exchange":
-                # fused plane kernels: per-dim extract/merge selection
-                # matmuls, no sort, no full-payload XLA sweeps
-                from .ops import pallas_exchange as pex
-                planes = tuple(st.lpos[s, d] for d in range(D)) + tuple(
-                    st.vel[s, d] for d in range(D))
-                planes, al, d_n = pex.rebucket_exchange_planes(
-                    planes, st.alive[s].astype(jnp.float32),
-                    self.ts.ntiles, self.ts.T, K=self._exchange_cap,
-                    interpret=jax.devices()[0].platform == "cpu")
-                lp = jnp.stack(planes[:D])
-                lv = jnp.stack(planes[D:])
-                la = al > 0.5
-            else:
-                gpos = tl.global_positions(
-                    jnp.moveaxis(st.lpos[s], 0, -1), self.ts).reshape(-1, D)
-                vel = st.vel[s].reshape(D, -1).T
-                alive = st.alive[s].reshape(-1)
-                lp, lv, la, d_n = tl.bucket(gpos, vel, alive, self.ts)
-                lp = jnp.moveaxis(lp, -1, 0)
-                lv = jnp.moveaxis(lv, -1, 0)
-            lposs.append(lp); vels.append(lv); alives.append(la)
-            dropped = dropped + d_n.astype(jnp.int32)
-        return TiledState(lpos=jnp.stack(lposs), vel=jnp.stack(vels),
-                          alive=jnp.stack(alives)), dropped
+        for s in species:
+            lp, lv, la, d_n = self._rebucket_one(lpos[s], vel[s], alive[s])
+            lpos = lpos.at[s].set(lp)
+            vel = vel.at[s].set(lv)
+            alive = alive.at[s].set(la)
+            dropped = dropped + d_n
+        return TiledState(lpos=lpos, vel=vel, alive=alive), dropped
 
     def to_particles(self, st: TiledState) -> Particles:
         """Convert back to the (cell, frac) layout for IO/diagnostics.
@@ -181,17 +209,27 @@ class TiledSimulation(Simulation):
 
     # --------------------------------------------------------------- step
     def _fields(self, st: TiledState):
-        rho = None
-        for s in range(st.lpos.shape[0]):
-            q = float(np.asarray(self.params.charge)[s])
-            if self._backend == "pallas":
-                from .ops import pallas_tiled as ptl
-                r = ptl.deposit_to_grid(st.lpos[s], st.alive[s], q, self.ts,
-                                        mxu_dtype=self._mxu_dtype)
-            else:
+        if self._backend == "pallas":
+            # sum the padded tile blocks across species and fold ONCE —
+            # the fold is an HBM pass over the whole tile set
+            from .ops import pallas_tiled as ptl
+            tiles = None
+            for s in range(st.lpos.shape[0]):
+                q = float(np.asarray(self.params.charge)[s])
+                value = jnp.where(st.alive[s],
+                                  jnp.asarray(q, jnp.float32), 0.0)
+                t = ptl.deposit(st.lpos[s], value, self.ts,
+                                mxu_dtype=self._mxu_dtype)
+                tiles = t if tiles is None else tiles + t
+            rho = tl.fold_to_global(
+                tiles.reshape((self.ts.NT,) + (self.ts.P,) * 3), self.ts)
+        else:
+            rho = None
+            for s in range(st.lpos.shape[0]):
+                q = float(np.asarray(self.params.charge)[s])
                 r = tl.deposit_tiled(jnp.moveaxis(st.lpos[s], 0, -1),
                                      st.alive[s], q, self.ts)
-            rho = r if rho is None else rho + r
+                rho = r if rho is None else rho + r
         rho = rho.astype(self.spec.dtype)
         phi = self.solver(rho)
         E = -gradient(phi)
@@ -243,6 +281,11 @@ class TiledSimulation(Simulation):
         return st, rho, phi, E, Diagnostics(
             kin_energy=ke, pot_energy=pe, n_lost=jnp.zeros((), jnp.int32))
 
+    def _step_for_scan(self, st: TiledState):
+        """Hook for make_scan_steps (the sharded subclass substitutes its
+        sharded step)."""
+        return self._tiled_step(st)
+
     def _tiled_step(self, st: TiledState):
         st = TiledState(lpos=st.lpos + st.vel, vel=st.vel, alive=st.alive)
         n_out = self._out_of_margin(st)
@@ -265,13 +308,16 @@ class TiledSimulation(Simulation):
             writer.write_energy(0, ke_hist[0], pe_hist[0])
         for n in range(1, self.n_time_steps + 1):
             st, rho, phi, E, diag = self._tstep_jit(st)
-            # scheduled re-bucket, or adaptive early one when particles hit
-            # the margin (their charge was withheld for this one step)
-            if n % self.rebucket_every == 0 or int(diag.n_lost):
-                if int(diag.n_lost):
-                    msg(WARNING, "step %d: %d particle(s) reached the tile "
-                        "margin; re-bucketing early", n, int(diag.n_lost))
-                st, dropped = self._rebucket_jit(st)
+            # scheduled per-species re-bucket, or adaptive early one when
+            # particles hit the margin (charge withheld for that one step)
+            due = tuple(s for s, R in enumerate(self.rebucket_every_s)
+                        if n % R == 0)
+            if int(diag.n_lost):
+                msg(WARNING, "step %d: %d particle(s) reached the tile "
+                    "margin; re-bucketing early", n, int(diag.n_lost))
+                due = tuple(range(st.lpos.shape[0]))
+            if due:
+                st, dropped = self._rebucket_jit(st, species=due)
                 if int(dropped):
                     msg(WARNING, "step %d: %d particle(s) dropped by bucket "
                         "overflow (raise tiles:slack)", n, int(dropped))
@@ -295,21 +341,43 @@ class TiledSimulation(Simulation):
         return {"kinetic": np.stack(ke_hist), "potential": np.asarray(pe_hist),
                 "wall_time": wall}
 
-    def make_scan_steps(self, n: int):
-        """Scan with in-loop rebucketing every rebucket_every steps (static
-        schedule via cond on the step index)."""
-        R = self.rebucket_every
+    def _rebucket_schedule(self, n: int):
+        """step -> species due, from the per-species cadences."""
+        events = {}
+        for s, R in enumerate(self.rebucket_every_s):
+            for k in range(R, n + 1, R):
+                events.setdefault(k, []).append(s)
+        return events
 
-        def body(carry, i):
-            st = carry
-            st, rho, phi, E, diag = self._tiled_step(st)
-            def do_rb(s):
-                s2, _ = self._rebucket(s)
-                return s2
-            st = jax.lax.cond((i + 1) % R == 0, do_rb, lambda s: s, st)
+    def make_scan_steps(self, n: int):
+        """n steps with in-loop per-species rebucketing.  The schedule is
+        STATIC: the scan is split into segments at rebucket events, so no
+        lax.cond ever copies the (GB-sized) state on non-rebucket steps."""
+        events = self._rebucket_schedule(n)
+        if len(events) > 64:                     # bound program size
+            events = {k: list(range(self.particles.n_species))
+                      for k in range(self.rebucket_every, n + 1,
+                                     self.rebucket_every)}
+
+        def body(st, _):
+            st, rho, phi, E, diag = self._step_for_scan(st)
             return st, (diag.kin_energy, diag.pot_energy)
 
         @jax.jit
         def run_n(st, rho_obj=None):
-            return jax.lax.scan(body, st, jnp.arange(n))
+            outs = []
+            prev = 0
+            for k in sorted(set(events) | {n}):
+                if k > n:
+                    break
+                if k > prev:
+                    st2, out = jax.lax.scan(body, st, None, length=k - prev)
+                    st = st2
+                    outs.append(out)
+                    prev = k
+                for s in events.get(k, []):
+                    st, _ = self._rebucket(st, species=(s,))
+            ke = jnp.concatenate([o[0] for o in outs])
+            pe = jnp.concatenate([o[1] for o in outs])
+            return st, (ke, pe)
         return run_n

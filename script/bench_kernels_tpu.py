@@ -133,64 +133,88 @@ def gather_v(E, lpx, lpy, lpz, ts, kron, stack, dt, G=8):
     )(rs(lpx), rs(lpy), rs(lpz), E)
 
 
-def timed(name, f, lp, vel, reps):
-    """Chained async dispatch; returns ms/call (excl. the push cost, which
-    is reported once as 'push')."""
-    push = jax.jit(lambda a: a + vel)
+def timed(name, f, args, reps):
+    """Time f via an in-jit scan whose carry evolves and whose outputs are
+    all consumed into a scalar — the only pattern that defeats both the
+    relay's replay cache AND its lazy per-call dispatch (externally-timed
+    chained calls read 0.1 ms).
+
+    f(lp, *rest) -> array; args = (lp, vel, *rest).  CRITICAL: rest must
+    be threaded as jit ARGUMENTS (closed-over device arrays become HLO
+    constants and the remote-compile tunnel serializes them: HTTP 413)."""
+    def run(lp, vel, *rest):
+        def body(carry, _):
+            lp, acc = carry
+            out = f(lp, *rest)
+            return (lp + vel, acc + jnp.sum(out)), None
+        (lp, acc), _ = jax.lax.scan(body, (lp, jnp.zeros(())), None,
+                                    length=reps)
+        return acc
+
+    rj = jax.jit(run)
     try:
-        x = push(lp)
-        out = f(x)
-        jax.block_until_ready(out)
+        acc = rj(*args)
+        jax.block_until_ready(acc)
     except Exception as e:  # noqa: BLE001
         log(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}")
         return None
     t0 = time.monotonic()
-    for _ in range(reps):
-        x = push(x)
-        out = f(x)
-    jax.block_until_ready(out)
+    acc = rj(*args)
+    jax.block_until_ready(acc)
     ms = (time.monotonic() - t0) / reps * 1e3
-    log(f"{name}: {ms:7.1f} ms/call")
+    log(f"{name}: {ms:7.1f} ms/call (sum={float(acc):.3e})")
     return ms
 
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     log(f"device: {jax.devices()[0]}")
-    rng = np.random.default_rng(0)
     T, B, fill = 8, 12288, 8192
     NT = (128 // T) ** 3
-    lp = jnp.asarray(rng.uniform(0, T, size=(3, NT, B)).astype(np.float32))
-    vel = jnp.asarray(rng.normal(0, 0.004, size=(3, NT, B))
-                      .astype(np.float32))
-    alive = np.zeros((NT, B), np.float32)
-    alive[:, :fill] = 1.0
-    value = jnp.asarray(alive)
+
+    # all test data generated ON DEVICE: the axon tunnel uploads host
+    # arrays at WAN speed (1.4 GB took >25 min), jax.random costs nothing
+    @jax.jit
+    def gen():
+        k = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(k, 3)
+        lp = jax.random.uniform(k1, (3, NT, B), jnp.float32, 0.0, float(T))
+        vel = 0.004 * jax.random.normal(k2, (3, NT, B), jnp.float32)
+        value = (jnp.arange(B)[None, :] < fill).astype(
+            jnp.float32) * jnp.ones((NT, 1), jnp.float32)
+        E = jax.random.normal(k3, (NT, 3, 13, 13 * 13), jnp.float32)
+        return lp, vel, value, E
+
+    lp, vel, value, E13 = gen()
+    jax.block_until_ready(lp)
+    log("device data ready")
 
     # push baseline (pure elementwise pass over the coordinate planes)
-    push = jax.jit(lambda a: a + vel)
-    x = push(lp); jax.block_until_ready(x)
-    t0 = time.monotonic()
-    for _ in range(reps):
-        x = push(x)
-    jax.block_until_ready(x)
-    log(f"push baseline: {(time.monotonic()-t0)/reps*1e3:.1f} ms")
+    timed("push baseline", lambda a: a[:1, :1, :1] * 0.0, (lp, vel), reps)
 
-    for M in (2, 1):
+    cases = [
+        # (M, dtype, kron, stack-for-gather) — the value-critical subset
+        (2, jnp.float32, "repeat", False),    # current production M=2 f32
+        (2, jnp.bfloat16, "repeat", False),   # current bf16 default
+        (1, jnp.float32, "repeat", False),    # margin effect (P^2 <= 128)
+        (1, jnp.bfloat16, "repeat", False),
+        (1, jnp.bfloat16, "iota", False),     # kron build variant
+        (1, jnp.bfloat16, "iota", True),      # + buffered stores
+    ]
+    for M, dt, kron, stack in cases:
         ts = tl.TileSpec(grid=(128, 128, 128), T=T, M=M, B=B, chunk=32)
         P = ts.P
-        E = jnp.asarray(rng.normal(size=(NT, 3, P, P * P))
-                        .astype(np.float32))
-        for dt, dn in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-            for kron in ("repeat", "iota"):
-                timed(f"deposit M={M} P={P} {dn} {kron}",
-                      lambda a: deposit_v(a[0], a[1], a[2], value, ts,
-                                          kron, dt), lp, vel, reps)
-            for kron, stack in (("repeat", False), ("iota", False),
-                                ("iota", True)):
-                timed(f"gather  M={M} P={P} {dn} {kron} stack={int(stack)}",
-                      lambda a: gather_v(E, a[0], a[1], a[2], ts, kron,
-                                         stack, dt), lp, vel, reps)
+        dn = "bf16" if dt == jnp.bfloat16 else "f32"
+        E = E13[:, :, :P, :P * P]
+        if not stack:
+            timed(f"deposit M={M} P={P} {dn} {kron}",
+                  lambda a, val, ts=ts, kron=kron, dt=dt: deposit_v(
+                      a[0], a[1], a[2], val, ts, kron, dt),
+                  (lp, vel, value), reps)
+        timed(f"gather  M={M} P={P} {dn} {kron} stack={int(stack)}",
+              lambda a, e, ts=ts, kron=kron, stack=stack, dt=dt: gather_v(
+                  e, a[0], a[1], a[2], ts, kron, stack, dt),
+              (lp, vel, E), reps)
 
 
 if __name__ == "__main__":
