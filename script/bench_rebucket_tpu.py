@@ -1,13 +1,13 @@
 """TPU micro-benchmark: re-bucket implementations at production size
 (128^3 tiles, one species of 33.5M live particles, bucket B=12288).
 
-Compares: v2 fused plane exchange (ops/pallas_exchange) across K, the v1
-payload exchange (ops/pallas_rebucket), and the lax.sort re-bucket.
+Compares: the fused plane exchange (ops/pallas_exchange) across K and
+the lax.sort re-bucket.
 All data generated on device (the axon tunnel uploads at WAN speed).
 Run alone — never alongside another TPU process.
 
 Usage: python script/bench_rebucket_tpu.py [mode ...]
-  modes: v2k128 v2k256 v2k512 v1 sort   (default: v2k256 v2k512 v1)
+  modes: v2k128 v2k256 v2k512 sort   (default: v2k256 v2k512 sort)
 """
 import sys
 import time
@@ -87,14 +87,6 @@ def v2_step(K):
     return step
 
 
-def v1_step(lp, vel, al):
-    lpos = jnp.moveaxis(lp, 0, -1)
-    v = jnp.moveaxis(vel, 0, -1)
-    lp2, v2, al2, d = tl.rebucket_exchange(lpos, v, al > 0.5, TS, K=512)
-    return (jnp.moveaxis(lp2, -1, 0), jnp.moveaxis(v2, -1, 0),
-            al2.astype(jnp.float32), d)
-
-
 def sort_step(lp, vel, al):
     gpos = tl.global_positions(jnp.moveaxis(lp, 0, -1), TS).reshape(-1, 3)
     v = jnp.moveaxis(vel, 0, -1).reshape(-1, 3)
@@ -104,7 +96,7 @@ def sort_step(lp, vel, al):
 
 
 def main():
-    modes = sys.argv[1:] or ["v2k256", "v2k512", "v1"]
+    modes = sys.argv[1:] or ["v2k256", "v2k512", "sort"]
     log(f"device: {jax.devices()[0]}")
     lp, vel, al = gen()
     jax.block_until_ready(lp)
@@ -112,8 +104,6 @@ def main():
     for m in modes:
         if m.startswith("v2k"):
             timed(f"v2 exchange K={m[3:]}", v2_step(int(m[3:])), lp, vel, al)
-        elif m == "v1":
-            timed("v1 exchange K=512", v1_step, lp, vel, al)
         elif m == "sort":
             timed("sort rebucket", sort_step, lp, vel, al)
 

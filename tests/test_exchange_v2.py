@@ -72,25 +72,24 @@ def test_exchange_v2_overflow_counted():
     assert l3.min() >= 0.0 and l3.max() < ts.T
 
 
-def test_exchange_v2_matches_v1():
-    """Same inputs through the v1 payload path and the v2 plane path."""
-    from pinc_tpu.ops.tiled import rebucket_exchange
-    # generous B: v1's sign-by-sign merge can transiently run out of free
-    # slots in near-full buckets (v2 merges both signs after all kills)
+def test_exchange_matches_sort_rebucket():
+    """The exchange path and a full sort re-bucket agree on the particle
+    multiset (positions in the global frame + paired velocities)."""
     ts, lp2, lv, la = _setup((8, 8, 8), 4, 512, 2000, 0.9, seed=3)
-    lp_v1, lv_v1, la_v1, d1 = rebucket_exchange(lp2, lv, la, ts, K=64,
-                                                interpret=True)
+    gpos = global_positions(lp2, ts).reshape(-1, 3)
+    lp_s, lv_s, la_s, d1 = bucket(gpos, lv.reshape(-1, 3),
+                                  la.reshape(-1), ts)
     planes, al = _to_planes(lp2, lv, la)
     planes, al, d2 = pex.rebucket_exchange_planes(
         planes, al, ts.ntiles, ts.T, K=64, interpret=True)
     lp_v2, lv_v2, la_v2 = _from_planes(planes, al)
     assert int(d1) == int(d2) == 0
-    assert int(la_v1.sum()) == int(la_v2.sum())
+    assert int(la_s.sum()) == int(la_v2.sum())
 
     def multiset(lp, lv, la, ts):
         gp = np.asarray(global_positions(lp, ts))[np.asarray(la)]
         v = np.asarray(lv)[np.asarray(la)]
         return np.sort((gp * 7.1).sum(1) + (v * 13.3).sum(1))
 
-    assert np.allclose(multiset(lp_v1, lv_v1, la_v1, ts),
+    assert np.allclose(multiset(lp_s, lv_s, la_s, ts),
                        multiset(lp_v2, lv_v2, la_v2, ts), atol=1e-2)
