@@ -61,6 +61,7 @@ migrate = puExtractEmigrantsND
 [tiles]
 tileSize = 8
 mxuDtype = bf16
+slack = 1.125
 """
     cfg = PincConfig.from_string(deck)
     t0 = time.monotonic()
@@ -89,14 +90,19 @@ mxuDtype = bf16
 
     t0 = time.monotonic()
     if layout == "tiled":
-        carry, (ke, pe) = run_n(carry)
+        carry, (ke, pe, dropped) = run_n(carry)
     else:
         carry, (ke, pe) = run_n(*carry)
+        dropped = 0
     jax.block_until_ready(leaf(carry))
     wall = time.monotonic() - t0
     psteps = n_particles * steps / wall
     log(f"{steps} steps in {wall:.3f}s -> {psteps:.3e} particle-steps/s "
         f"(KE[-1]={float(ke[-1].sum()):.4g})")
+    if int(dropped):
+        log(f"WARNING: {int(dropped)} particle(s) dropped by re-bucket "
+            f"overflow during the timed window (raise tiles:slack / "
+            f"tiles:exchangeCap)")
     return psteps
 
 

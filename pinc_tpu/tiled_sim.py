@@ -367,6 +367,7 @@ class TiledSimulation(Simulation):
         def run_n(st, rho_obj=None):
             outs = []
             prev = 0
+            dropped = jnp.zeros((), jnp.int32)
             for k in sorted(set(events) | {n}):
                 if k > n:
                     break
@@ -376,8 +377,9 @@ class TiledSimulation(Simulation):
                     outs.append(out)
                     prev = k
                 for s in events.get(k, []):
-                    st, _ = self._rebucket(st, species=(s,))
+                    st, d = self._rebucket(st, species=(s,))
+                    dropped = dropped + d
             ke = jnp.concatenate([o[0] for o in outs])
             pe = jnp.concatenate([o[1] for o in outs])
-            return st, (ke, pe)
+            return st, (ke, pe, dropped)
         return run_n

@@ -147,7 +147,8 @@ def test_tiled_simulation_matches_reference_path():
 def test_tiled_scan_with_rebucket():
     sim = TiledSimulation(PincConfig.from_string(DECK), seed=3)
     run_n = sim.make_scan_steps(12)
-    st, (ke, pe) = run_n(sim.state)
+    st, (ke, pe, dropped) = run_n(sim.state)
+    assert int(dropped) == 0
     assert np.isfinite(np.asarray(ke)).all()
     assert int(np.asarray(st.alive).sum()) == 2 * 8 * 16 ** 3
 

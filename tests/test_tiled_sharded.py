@@ -72,8 +72,9 @@ def test_sharded_tiled_matches_single(pair):
     n = 4
     run1 = single.make_scan_steps(n)
     runN = sharded.make_scan_steps(n)
-    _, (ke1, pe1) = run1(single.state)
-    _, (keN, peN) = runN(sharded.state)
+    _, (ke1, pe1, d1) = run1(single.state)
+    _, (keN, peN, dN) = runN(sharded.state)
+    assert int(d1) == int(dN) == 0
     ke1, keN = np.asarray(ke1), np.asarray(keN)
     pe1, peN = np.asarray(pe1), np.asarray(peN)
     assert np.allclose(ke1, keN, rtol=1e-4, atol=1e-7), (ke1, keN)
