@@ -35,12 +35,18 @@ def _perm(n: int, shift: int):
     return [(i, (i + shift) % n) for i in range(n)]
 
 
-def pad_plus(block: jax.Array, axes: Sequence[str], n_sub: Sequence[int]) -> jax.Array:
+def pad_plus(block: jax.Array, axes: Sequence[str], n_sub: Sequence[int],
+             bounded: Sequence[bool] | None = None) -> jax.Array:
     """Append one ghost plane at the high end of every spatial dim, filled
     with the + neighbor's plane 0.  block: (*t[, C]).  Returns (*t+1[, C]).
 
     Done sequentially per dim so the sent slice already carries the ghost
     planes of previously-processed dims — corners arrive correctly.
+
+    bounded[d]: non-periodic upper edge along dim d — the global top
+    device's ghost plane becomes its OWN last plane, reproducing the
+    single-device CIC clamp (ops/cic._corner_indices periodic=False)
+    exactly.
     """
     for d, (ax, n) in enumerate(zip(axes, n_sub)):
         first = lax.slice_in_dim(block, 0, 1, axis=d)
@@ -49,6 +55,14 @@ def pad_plus(block: jax.Array, axes: Sequence[str], n_sub: Sequence[int]) -> jax
             ghost = lax.ppermute(first, ax, _perm(n, -1))
         else:
             ghost = first                     # self-wrap (periodic)
+        if bounded is not None and bounded[d]:
+            last = lax.slice_in_dim(block, block.shape[d] - 1,
+                                    block.shape[d], axis=d)
+            if n > 1:
+                is_top = (lax.axis_index(ax) == n - 1)
+                ghost = jnp.where(is_top, last, ghost)
+            else:
+                ghost = last
         block = jnp.concatenate([block, ghost], axis=d)
     return block
 
@@ -81,17 +95,39 @@ def shifted_tiles(x: jax.Array, axis: int, shift: int, mesh_axis: str,
     return jnp.concatenate([rest, plane], axis=axis)
 
 
-def fold_plus(block: jax.Array, axes: Sequence[str], n_sub: Sequence[int]) -> jax.Array:
+def fold_plus(block: jax.Array, axes: Sequence[str], n_sub: Sequence[int],
+              bounded: Sequence[bool] | None = None) -> jax.Array:
     """Deposition halo-add: block has one overflow plane at the high end of
     every spatial dim (shape *t+1[, C]); fold each overflow plane into the
-    + neighbor's plane 0 and drop it.  Returns (*t[, C])."""
+    + neighbor's plane 0 and drop it.  Returns (*t[, C]).
+
+    bounded[d]: non-periodic upper edge — the global top device folds its
+    overflow back into its OWN last plane (the single-device scatter
+    clamps node L to L-1), and the global bottom device discards the
+    wrapped-in plane."""
     for d, (ax, n) in enumerate(zip(axes, n_sub)):
         t = block.shape[d] - 1
         body = lax.slice_in_dim(block, 0, t, axis=d)
-        over = lax.slice_in_dim(block, t, t + 1, axis=d)
+        over_own = lax.slice_in_dim(block, t, t + 1, axis=d)
+        over = over_own
         if n > 1:
-            over = lax.ppermute(over, ax, _perm(n, 1))
-        first = lax.slice_in_dim(body, 0, 1, axis=d) + over
-        rest = lax.slice_in_dim(body, 1, t, axis=d)
-        block = jnp.concatenate([first, rest], axis=d)
+            over = lax.ppermute(over_own, ax, _perm(n, 1))
+        if bounded is not None and bounded[d]:
+            if n > 1:
+                is_top = (lax.axis_index(ax) == n - 1)
+                is_bot = (lax.axis_index(ax) == 0)
+                over = jnp.where(is_bot, jnp.zeros_like(over), over)
+                add_last = jnp.where(is_top, over_own,
+                                     jnp.zeros_like(over_own))
+            else:
+                over = jnp.zeros_like(over)
+                add_last = over_own
+            last = lax.slice_in_dim(body, t - 1, t, axis=d) + add_last
+            mid = lax.slice_in_dim(body, 1, t - 1, axis=d)
+            first = lax.slice_in_dim(body, 0, 1, axis=d) + over
+            block = jnp.concatenate([first, mid, last], axis=d)
+        else:
+            first = lax.slice_in_dim(body, 0, 1, axis=d) + over
+            rest = lax.slice_in_dim(body, 1, t, axis=d)
+            block = jnp.concatenate([first, rest], axis=d)
     return block

@@ -75,16 +75,15 @@ class ShardedSimulation(Simulation):
             raise NotImplementedError(
                 "embedded objects are not yet supported on the sharded "
                 "path; run object decks with grid:nSubdomains=1")
-        if not self.spec.periodic:
-            raise NotImplementedError(
-                "the sharded path currently supports all-PERIODIC "
-                "boundaries; run bounded decks with grid:nSubdomains=1")
         ndev = self.ctx.n_devices
         cap_global = self.particles.capacity
         self.cap_local = _round_up(math.ceil(cap_global / ndev), 8)
         K_default = max(64, self.cap_local // 8)
         self.migration_cap = min(
             cfg.get_int("parallel:migrationcap", K_default), self.cap_local)
+        from ..grid import BndType
+        self._bounded = tuple(b is not BndType.PERIODIC
+                              for b in self.bc.upper)
         self.particles = self._distribute(self.particles)
         from ..solvers.spectral import SpectralSolver
         self._pencil = None
@@ -152,6 +151,12 @@ class ShardedSimulation(Simulation):
         ctx = self.ctx
         offset = subdomain_offset(ctx)
         p = pu.move(p, ctx.global_size, periodic=False)     # unwrapped
+        if not self.spec.periodic:
+            # bounded domain: specular reflection at the global walls
+            # BEFORE migration, so no charge or particle ever reaches the
+            # wrap planes of the periodic halo/migration rings (they then
+            # carry only zeros across the global edge)
+            p = pu.reflect(p, ctx.global_size)
         p, lost = migrate(p, ctx, offset, self.migration_cap)
         S, capL, D = p.cell.shape
         lcell = (p.cell - offset).reshape(S * capL, D)
@@ -161,14 +166,16 @@ class ShardedSimulation(Simulation):
         padded = tuple(t + 1 for t in ctx.true_size)
         rho_pad = cic.scatter_cic(padded, lcell, frac, value,
                                   periodic=False, dtype=self.spec.dtype)
-        rho = fold_plus(rho_pad, ctx.axes, ctx.n_subdomains)
+        rho = fold_plus(rho_pad, ctx.axes, ctx.n_subdomains,
+                        bounded=self._bounded)
         return p, rho, lost
 
     def _local_kick(self, p: Particles, E_local: jax.Array,
                     half: bool) -> Tuple[Particles, jax.Array]:
         ctx = self.ctx
         offset = subdomain_offset(ctx)
-        E_pad = pad_plus(E_local, ctx.axes, ctx.n_subdomains)
+        E_pad = pad_plus(E_local, ctx.axes, ctx.n_subdomains,
+                         bounded=self._bounded)
         if half:
             E_pad = 0.5 * E_pad
         lp = Particles(cell=p.cell - offset, frac=p.frac, vel=p.vel,
@@ -204,7 +211,8 @@ class ShardedSimulation(Simulation):
                 rho_pad = cic.scatter_cic(padded, lcell, frac, value,
                                           periodic=False,
                                           dtype=self.spec.dtype)
-                rho = fold_plus(rho_pad, ctx_.axes, ctx_.n_subdomains)
+                rho = fold_plus(rho_pad, ctx_.axes, ctx_.n_subdomains,
+                                bounded=self._bounded)
                 return p, rho, jnp.zeros((), jnp.int32)
             deposit = _shard_map(no_move, ctx.mesh, in_specs=(pspec,),
                                  out_specs=(pspec, fspec, P()))
@@ -227,7 +235,11 @@ class ShardedSimulation(Simulation):
         else:
             phi = self.solver(rho)
         phi = lax.with_sharding_constraint(phi, ctx.sharding(fspec))
-        E = -gradient(phi)
+        if self.spec.periodic:
+            E = -gradient(phi)
+        else:
+            from ..bc import gradient_bc
+            E = -gradient_bc(phi, self.bc)
 
         kick = _shard_map(partial(self._local_kick, half=half), ctx.mesh,
                           in_specs=(pspec, ctx.field_spec(n_values=1)),

@@ -1,0 +1,91 @@
+"""TPU validation run at production defaults: N steps of the bench deck,
+checking energy-series smoothness across re-bucket events, particle
+conservation, and drop counts.
+
+Usage: python script/validate_tpu.py [steps]
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+from pinc_tpu.utils.jaxconfig import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    from pinc_tpu.config import PincConfig
+    from pinc_tpu.tiled_sim import TiledSimulation
+
+    deck = f"""
+[time]
+nTimeSteps = {steps}
+timeStep = 0.2
+[grid]
+nDims = 3
+nSubdomains = 1,1,1
+trueSize = 128,128,128
+stepSize = 1
+boundaries = PERIODIC
+[population]
+nSpecies = 2
+nParticles = 16 pc
+nAlloc = 16 pc
+charge = -1,1
+mass = 1,1836
+multiplicity = auto
+thermalVelocity = 0.02,0.0005
+drift = 0
+[methods]
+mode = regular
+poisson = sSolve
+acc = puAcc3D1KE
+distr = puDistr3D1
+migrate = puExtractEmigrantsND
+[tiles]
+tileSize = 8
+mxuDtype = bf16
+slack = 1.125
+"""
+    cfg = PincConfig.from_string(deck)
+    t0 = time.monotonic()
+    sim = TiledSimulation(cfg, seed=1)
+    n0 = int(np.asarray(sim.state.alive).sum())
+    log(f"setup {time.monotonic()-t0:.0f}s; {n0:,} particles; "
+        f"cadences={sim.rebucket_every_s}")
+    run_n = sim.make_scan_steps(steps)
+    t0 = time.monotonic()
+    st, (ke, pe, dropped) = run_n(sim.state)
+    jax.block_until_ready(ke)
+    wall = time.monotonic() - t0
+    ke = np.asarray(ke).sum(axis=1)
+    pe = np.asarray(pe)
+    tot = ke + pe
+    n1 = int(np.asarray(st.alive).sum())
+    log(f"{steps} steps in {wall:.1f}s "
+        f"({n0 * steps / wall:.3e} psteps/s incl. compile? no — warm scan)")
+    log(f"particles {n0:,} -> {n1:,}  dropped={int(dropped)}")
+    log(f"E0={tot[0]:.6e}  E[-1]={tot[-1]:.6e} "
+        f"drift={(tot[-1]-tot[0])/tot[0]*100:.3f}%")
+    # per-step relative changes; rebucket events should NOT stand out
+    d = np.abs(np.diff(tot) / tot[:-1])
+    R = min(sim.rebucket_every_s)
+    at_rb = d[R - 1::R]
+    others = np.delete(d, np.arange(R - 1, d.size, R))
+    log(f"mean |dE/E| per step: rebucket-steps {at_rb.mean():.3e}  "
+        f"other steps {others.mean():.3e}")
+    ok = (n1 == n0 and int(dropped) == 0
+          and at_rb.mean() < 5.0 * max(others.mean(), 1e-12))
+    log("VALIDATION " + ("PASS" if ok else "FAIL"))
+
+
+if __name__ == "__main__":
+    main()
