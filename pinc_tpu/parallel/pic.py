@@ -71,10 +71,6 @@ class ShardedSimulation(Simulation):
         nd = self.spec.n_dims
         self.ctx = make_mesh(self.spec.n_subdomains, self.spec.true_size,
                              devices=devices)
-        if self.objects is not None:
-            raise NotImplementedError(
-                "embedded objects are not yet supported on the sharded "
-                "path; run object decks with grid:nSubdomains=1")
         ndev = self.ctx.n_devices
         cap_global = self.particles.capacity
         self.cap_local = _round_up(math.ceil(cap_global / ndev), 8)
@@ -146,8 +142,29 @@ class ShardedSimulation(Simulation):
             alive=jax.device_put(jnp.asarray(out_alive), sh2))
 
     # ---------------------------------------------------------- local parts
-    def _local_deposit(self, p: Particles) -> Tuple[Particles, jax.Array, jax.Array]:
-        """Per-device: move (unwrapped), migrate, deposit with halo fold."""
+    def _local_absorb(self, p: Particles):
+        """Per-device object absorption (the particle half of
+        oCollectObjectCharge, src/object.c:460-515): cut particles whose
+        floor node is object interior; psum per-object absorbed charge.
+        interior_id is a replicated constant; p.cell is global-frame."""
+        S, capL, D = p.cell.shape
+        node = tuple(p.cell[..., d] for d in range(D))
+        oid = self.objects.interior_id[node]                # (S, capL)
+        absorbed = p.alive & (oid > 0)
+        q = jnp.broadcast_to(self.params.charge[:, None], (S, capL))
+        flat_oid = jnp.where(absorbed, oid, 0).reshape(-1)
+        flat_q = jnp.where(absorbed, q, 0.0).reshape(-1)
+        counter = jax.ops.segment_sum(
+            flat_q, flat_oid, num_segments=self.objects.n_objects + 1)
+        for ax in self.ctx.axes:
+            counter = lax.psum(counter, ax)
+        p = Particles(cell=p.cell, frac=p.frac, vel=p.vel,
+                      alive=p.alive & ~absorbed)
+        return p, counter
+
+    def _local_deposit(self, p: Particles):
+        """Per-device: move (unwrapped), migrate, absorb, deposit with
+        halo fold."""
         ctx = self.ctx
         offset = subdomain_offset(ctx)
         p = pu.move(p, ctx.global_size, periodic=False)     # unwrapped
@@ -158,6 +175,10 @@ class ShardedSimulation(Simulation):
             # carry only zeros across the global edge)
             p = pu.reflect(p, ctx.global_size)
         p, lost = migrate(p, ctx, offset, self.migration_cap)
+        if self.objects is not None:
+            p, counter = self._local_absorb(p)
+        else:
+            counter = jnp.zeros((1,), jnp.float32)
         S, capL, D = p.cell.shape
         lcell = (p.cell - offset).reshape(S * capL, D)
         frac = p.frac.reshape(S * capL, D)
@@ -168,7 +189,7 @@ class ShardedSimulation(Simulation):
                                   periodic=False, dtype=self.spec.dtype)
         rho = fold_plus(rho_pad, ctx.axes, ctx.n_subdomains,
                         bounded=self._bounded)
-        return p, rho, lost
+        return p, rho, lost, counter
 
     def _local_kick(self, p: Particles, E_local: jax.Array,
                     half: bool) -> Tuple[Particles, jax.Array]:
@@ -187,38 +208,9 @@ class ShardedSimulation(Simulation):
         return out, ke
 
     # ------------------------------------------------------------ the step
-    def _sharded_pipeline(self, particles: Particles, do_move: bool,
-                          half: bool) -> StepOutput:
-        ctx = self.ctx
-        p3, p2 = ctx.particle_spec(True), ctx.particle_spec(False)
-        pspec = Particles(cell=p3, frac=p3, vel=p3, alive=p2)
-        fspec = ctx.field_spec()
-
-        if do_move:
-            deposit = _shard_map(self._local_deposit, ctx.mesh,
-                                 in_specs=(pspec,),
-                                 out_specs=(pspec, fspec, P()))
-        else:
-            def no_move(p):
-                ctx_ = self.ctx
-                offset = subdomain_offset(ctx_)
-                S, capL, D = p.cell.shape
-                lcell = (p.cell - offset).reshape(S * capL, D)
-                frac = p.frac.reshape(S * capL, D)
-                q = jnp.broadcast_to(self.params.charge[:, None], (S, capL))
-                value = jnp.where(p.alive, q, 0.0).reshape(S * capL)
-                padded = tuple(t + 1 for t in ctx_.true_size)
-                rho_pad = cic.scatter_cic(padded, lcell, frac, value,
-                                          periodic=False,
-                                          dtype=self.spec.dtype)
-                rho = fold_plus(rho_pad, ctx_.axes, ctx_.n_subdomains,
-                                bounded=self._bounded)
-                return p, rho, jnp.zeros((), jnp.int32)
-            deposit = _shard_map(no_move, ctx.mesh, in_specs=(pspec,),
-                                 out_specs=(pspec, fspec, P()))
-
-        particles, rho, lost = deposit(particles)
+    def _solve(self, rho):
         from ..solvers.spectral import SpectralSolver
+        ctx = self.ctx
         if self._pencil is not None:
             phi = self._pencil(rho)
         elif isinstance(self.solver, SpectralSolver):
@@ -234,7 +226,76 @@ class ShardedSimulation(Simulation):
                              in_specs=(rep,), out_specs=rep)(rho_rep)
         else:
             phi = self.solver(rho)
-        phi = lax.with_sharding_constraint(phi, ctx.sharding(fspec))
+        return lax.with_sharding_constraint(phi,
+                                            ctx.sharding(ctx.field_spec()))
+
+    def _sharded_pipeline(self, particles: Particles, do_move: bool,
+                          half: bool, rho_obj=None) -> StepOutput:
+        ctx = self.ctx
+        p3, p2 = ctx.particle_spec(True), ctx.particle_spec(False)
+        pspec = Particles(cell=p3, frac=p3, vel=p3, alive=p2)
+        fspec = ctx.field_spec()
+
+        if do_move:
+            deposit = _shard_map(self._local_deposit, ctx.mesh,
+                                 in_specs=(pspec,),
+                                 out_specs=(pspec, fspec, P(), P()))
+        else:
+            def no_move(p):
+                ctx_ = self.ctx
+                offset = subdomain_offset(ctx_)
+                if self.objects is not None:
+                    # initialization cull: particles inside objects are
+                    # removed with their charge discarded (the reference's
+                    # oCollectObjectCharge on a zeroed rhoObj,
+                    # src/main.c:161-166; Simulation._half_kick does the
+                    # same)
+                    p, _ = self._local_absorb(p)
+                S, capL, D = p.cell.shape
+                lcell = (p.cell - offset).reshape(S * capL, D)
+                frac = p.frac.reshape(S * capL, D)
+                q = jnp.broadcast_to(self.params.charge[:, None], (S, capL))
+                value = jnp.where(p.alive, q, 0.0).reshape(S * capL)
+                padded = tuple(t + 1 for t in ctx_.true_size)
+                rho_pad = cic.scatter_cic(padded, lcell, frac, value,
+                                          periodic=False,
+                                          dtype=self.spec.dtype)
+                rho = fold_plus(rho_pad, ctx_.axes, ctx_.n_subdomains,
+                                bounded=self._bounded)
+                nobj = (self.objects.n_objects
+                        if self.objects is not None else 0)
+                return (p, rho, jnp.zeros((), jnp.int32),
+                        jnp.zeros((nobj + 1,), jnp.float32))
+            deposit = _shard_map(no_move, ctx.mesh, in_specs=(pspec,),
+                                 out_specs=(pspec, fspec, P(), P()))
+
+        particles, rho, lost, counter = deposit(particles)
+
+        obj_phi = None
+        if self.objects is not None and rho_obj is None:
+            rho_obj = jnp.zeros(self.objects.shape, self.spec.dtype)
+        if self.objects is not None and do_move:
+            # the surface-spread + capacitance correction run on the
+            # globally-sharded fields (oCollectObjectCharge's grid half +
+            # oApplyCapacitanceMatrix, src/object.c:301-515; the per-step
+            # sequence collect -> solve -> correct -> solve of
+            # src/main.c:222-240)
+            obj = self.objects
+            rho_obj_flat = rho_obj.ravel()
+            for a in range(obj.n_objects):
+                share = counter[a + 1] / float(len(obj.surface_idx[a]))
+                rho_obj_flat = rho_obj_flat.at[
+                    jnp.asarray(obj.surface_idx[a])].add(
+                        share.astype(rho_obj.dtype))
+            rho_obj = rho_obj_flat.reshape(obj.shape)
+            rho_obj = lax.with_sharding_constraint(rho_obj,
+                                                   ctx.sharding(fspec))
+            rho = rho + rho_obj
+            phi = self._solve(rho)
+            rho, obj_phi = self.objects.apply_capacitance(rho, phi)
+            phi = self._solve(rho)          # 2nd solve (src/main.c:240)
+        else:
+            phi = self._solve(rho)
         if self.spec.periodic:
             E = -gradient(phi)
         else:
@@ -248,7 +309,8 @@ class ShardedSimulation(Simulation):
         pe = potential_energy(rho, phi)
         return StepOutput(particles, rho, phi, E,
                           Diagnostics(kin_energy=ke, pot_energy=pe,
-                                      n_lost=lost))
+                                      n_lost=lost),
+                          rho_obj=rho_obj, obj_potential=obj_phi)
 
     def _use_pencil(self) -> bool:
         """Distributed pencil FFT: opt-in via parallel:pencilFFT, or
@@ -261,11 +323,14 @@ class ShardedSimulation(Simulation):
         return self.cfg.get_bool("parallel:pencilfft", big)
 
     def _sharded_half_kick(self, particles: Particles) -> StepOutput:
+        # like Simulation._half_kick: no absorption/capacitance before the
+        # first field solve; rho_obj passes through as zeros
         return self._sharded_pipeline(particles, do_move=False, half=True)
 
     def _sharded_step(self, particles: Particles,
                       rho_obj=None) -> StepOutput:
-        return self._sharded_pipeline(particles, do_move=True, half=False)
+        return self._sharded_pipeline(particles, do_move=True, half=False,
+                                      rho_obj=rho_obj)
 
     def make_scan_steps(self, n: int):
         def body(carry, _):
