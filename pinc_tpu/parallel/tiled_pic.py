@@ -53,6 +53,11 @@ class ShardedTiledSimulation(TiledSimulation):
 
     def __init__(self, cfg: PincConfig, seed: int = 1, devices=None):
         super().__init__(cfg, seed=seed)
+        if self.objects is not None:
+            raise NotImplementedError(
+                "objects on the sharded tiled path are not composed yet; "
+                "use the flat sharded path (methods:layout=flat) or a "
+                "single device")
         self.ctx = make_mesh(self.spec.n_subdomains, self.spec.true_size,
                              devices=devices)
         ctx = self.ctx

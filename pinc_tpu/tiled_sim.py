@@ -50,11 +50,10 @@ class TiledState:
 class TiledSimulation(Simulation):
     def __init__(self, cfg: PincConfig, seed: int = 1):
         super().__init__(cfg, seed=seed)
-        if self.objects is not None:
-            raise NotImplementedError("tiled layout does not support "
-                                      "embedded objects yet")
         if not self.spec.periodic:
-            raise NotImplementedError("tiled layout is periodic-only")
+            raise NotImplementedError("tiled layout is periodic-only "
+                                      "(bounded decks route to the flat "
+                                      "path via make_simulation)")
 
         nd = self.spec.n_dims
         T = cfg.get_int("tiles:tilesize", 8)
@@ -126,9 +125,34 @@ class TiledSimulation(Simulation):
         cap = max(128, min(cap, (self.ts.B // 8) * 8))
         self._exchange_cap = cfg.get_int("tiles:exchangecap", cap)
 
+        if self.objects is not None:
+            # static subset of tiles that can contain absorbable particles:
+            # tiles with interior nodes, dilated by one tile (margin wander
+            # M < T keeps any particle's floor cell within +-1 tile of its
+            # bucket).  The exact interior lookup then runs on ~NTo*B slots
+            # instead of all NT*B (the XLA gather path costs ~10-20 ns per
+            # lookup on this chip).
+            interior = np.asarray(self.objects.interior_id) > 0
+            ntiles = self.ts.ntiles
+            tview = interior.reshape(ntiles[0], T, ntiles[1], T,
+                                     ntiles[2], T)
+            tmask = tview.any(axis=(1, 3, 5))
+            for ax in range(3):
+                tmask = tmask | np.roll(tmask, 1, axis=ax) \
+                    | np.roll(tmask, -1, axis=ax)
+            self._obj_tiles = jnp.asarray(
+                np.flatnonzero(tmask.ravel()).astype(np.int32))
+            msg(STATUS, "tiled objects: %d/%d tiles near object surfaces",
+                int(self._obj_tiles.shape[0]), self.ts.NT)
+
         self.state = self._bucket_all(self.particles)
         self._tstep_jit = jax.jit(self._tiled_step, donate_argnums=(0,))
         self._thalf_jit = jax.jit(self._tiled_half_kick, donate_argnums=(0,))
+        if self.objects is not None:
+            self._tstep_obj_jit = jax.jit(self._tiled_step_obj,
+                                          donate_argnums=(0,))
+            self._thalf_obj_jit = jax.jit(self._tiled_half_kick_obj,
+                                          donate_argnums=(0,))
         self._rebucket_jit = jax.jit(self._rebucket, donate_argnums=(0,),
                                      static_argnames=("species",))
         msg(STATUS, "tiled layout: %s tiles of %d^%d cells, bucket=%d, "
@@ -208,7 +232,72 @@ class TiledSimulation(Simulation):
                          alive=st.alive.reshape(S, N))
 
     # --------------------------------------------------------------- step
-    def _fields(self, st: TiledState):
+    def _absorb(self, st: TiledState):
+        """Object absorption on the static near-object tile subset (the
+        particle half of oCollectObjectCharge, src/object.c:460-515).
+        Returns (state with absorbed particles dead, per-object absorbed
+        charge counter)."""
+        obj = self.objects
+        idx = self._obj_tiles
+        origins = tl.tile_origins(self.ts)[idx]           # (NTo, D)
+        Lf = jnp.asarray(self.ts.grid, jnp.float32)
+        Li = jnp.asarray(self.ts.grid, jnp.int32)
+        counter = jnp.zeros((obj.n_objects + 1,), jnp.float32)
+        alive = st.alive
+        for s in range(st.lpos.shape[0]):
+            lp = st.lpos[s][:, idx, :]                    # (D, NTo, B)
+            al = alive[s][idx]                            # (NTo, B)
+            g = jnp.mod(lp + origins.T[:, :, None], Lf[:, None, None])
+            cell = jnp.clip(jnp.floor(g).astype(jnp.int32), 0,
+                            Li[:, None, None] - 1)
+            oid = obj.interior_id[cell[0], cell[1], cell[2]]
+            absorbed = al & (oid > 0)
+            q = float(np.asarray(self.params.charge)[s])
+            counter = counter + jax.ops.segment_sum(
+                jnp.where(absorbed, q, 0.0).ravel(),
+                jnp.where(absorbed, oid, 0).ravel(),
+                num_segments=obj.n_objects + 1)
+            alive = alive.at[s, idx].set(al & ~absorbed)
+        return TiledState(lpos=st.lpos, vel=st.vel, alive=alive), counter
+
+    def _spread_obj_charge(self, rho_obj, counter):
+        """Spread per-object absorbed charge over surface nodes (the grid
+        half of oCollectObjectCharge)."""
+        obj = self.objects
+        flat = rho_obj.ravel()
+        for a in range(obj.n_objects):
+            share = counter[a + 1] / float(len(obj.surface_idx[a]))
+            flat = flat.at[jnp.asarray(obj.surface_idx[a])].add(
+                share.astype(rho_obj.dtype))
+        return flat.reshape(obj.shape)
+
+    def _tiled_step_obj(self, st: TiledState, rho_obj: jax.Array):
+        """Full step with the object feedback sequence (collect ->
+        deposit -> rho+=rhoObj -> solve -> capacitance -> solve,
+        src/main.c:222-240) on the tiled layout."""
+        st = TiledState(lpos=st.lpos + st.vel, vel=st.vel, alive=st.alive)
+        n_out = self._out_of_margin(st)
+        st, counter = self._absorb(st)
+        rho_obj = self._spread_obj_charge(rho_obj, counter)
+        rho = self._deposit_rho(st) + rho_obj
+        phi = self.solver(rho)
+        rho, obj_phi = self.objects.apply_capacitance(rho, phi)
+        phi = self.solver(rho)              # 2nd solve (src/main.c:240)
+        E = -gradient(phi)
+        st, ke = self._kick(st, E, half=False)
+        pe = potential_energy(rho, phi)
+        return (st, rho, phi, E,
+                Diagnostics(kin_energy=ke, pot_energy=pe, n_lost=n_out),
+                rho_obj, obj_phi)
+
+    def _tiled_half_kick_obj(self, st: TiledState):
+        """Initialization with objects: cull interior particles (charge
+        discarded, src/main.c:161-166), then the ordinary half kick."""
+        st, _ = self._absorb(st)
+        st, rho, phi, E, diag = self._tiled_half_kick(st)
+        return st, rho, phi, E, diag
+
+    def _deposit_rho(self, st: TiledState) -> jax.Array:
         if self._backend == "pallas":
             # sum the padded tile blocks across species and fold ONCE —
             # the fold is an HBM pass over the whole tile set
@@ -230,7 +319,10 @@ class TiledSimulation(Simulation):
                 r = tl.deposit_tiled(jnp.moveaxis(st.lpos[s], 0, -1),
                                      st.alive[s], q, self.ts)
                 rho = r if rho is None else rho + r
-        rho = rho.astype(self.spec.dtype)
+        return rho.astype(self.spec.dtype)
+
+    def _fields(self, st: TiledState):
+        rho = self._deposit_rho(st)
         phi = self.solver(rho)
         E = -gradient(phi)
         return rho, phi, E
@@ -299,15 +391,26 @@ class TiledSimulation(Simulation):
     def run(self, writer=None, progress_every: int = 10):
         import time
         t_start = time.monotonic()
-        st, rho, phi, E, diag = self._thalf_jit(self.state)
+        objects = self.objects is not None
+        rho_obj = self.spec.zeros() if objects else None
+        obj_phi = None
+        if objects:
+            st, rho, phi, E, diag = self._thalf_obj_jit(self.state)
+        else:
+            st, rho, phi, E, diag = self._thalf_jit(self.state)
         ke_hist = [np.asarray(diag.kin_energy)]
         pe_hist = [float(diag.pot_energy)]
         if writer is not None:
-            out = StepOutput(self.to_particles(st), rho, phi, E, diag)
+            out = StepOutput(self.to_particles(st), rho, phi, E, diag,
+                             rho_obj=rho_obj)
             writer.write_step(0, out)
             writer.write_energy(0, ke_hist[0], pe_hist[0])
         for n in range(1, self.n_time_steps + 1):
-            st, rho, phi, E, diag = self._tstep_jit(st)
+            if objects:
+                (st, rho, phi, E, diag, rho_obj,
+                 obj_phi) = self._tstep_obj_jit(st, rho_obj)
+            else:
+                st, rho, phi, E, diag = self._tstep_jit(st)
             # scheduled per-species re-bucket, or adaptive early one when
             # particles hit the margin (charge withheld for that one step)
             due = tuple(s for s, R in enumerate(self.rebucket_every_s)
@@ -326,7 +429,8 @@ class TiledSimulation(Simulation):
             ke_hist.append(ke)
             pe_hist.append(pe)
             if writer is not None:
-                out = StepOutput(self.to_particles(st), rho, phi, E, diag)
+                out = StepOutput(self.to_particles(st), rho, phi, E, diag,
+                                 rho_obj=rho_obj, obj_potential=obj_phi)
                 writer.write_step(n, out)
                 writer.write_energy(n, ke, pe)
             if progress_every and n % progress_every == 0:
@@ -338,6 +442,9 @@ class TiledSimulation(Simulation):
         msg(TIMER, "Time spent: %f s (%d steps)", wall, self.n_time_steps)
         self.state = st
         self.particles = self.to_particles(st)
+        if objects:
+            self.last_rho_obj = rho_obj
+            self.last_obj_potential = obj_phi
         return {"kinetic": np.stack(ke_hist), "potential": np.asarray(pe_hist),
                 "wall_time": wall}
 
@@ -353,6 +460,10 @@ class TiledSimulation(Simulation):
         """n steps with in-loop per-species rebucketing.  The schedule is
         STATIC: the scan is split into segments at rebucket events, so no
         lax.cond ever copies the (GB-sized) state on non-rebucket steps."""
+        if self.objects is not None:
+            raise NotImplementedError(
+                "tiled object decks run through run() (the scan driver is "
+                "the benchmark path)")
         events = self._rebucket_schedule(n)
         if len(events) > 64:                     # bound program size
             events = {k: list(range(self.particles.n_species))
