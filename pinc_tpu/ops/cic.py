@@ -33,15 +33,19 @@ import jax.numpy as jnp
 
 
 def _corner_indices(cell: jax.Array, offsets: Tuple[int, ...],
-                    L: Sequence[int], periodic: bool) -> Tuple[jax.Array, ...]:
+                    L: Sequence[int], periodic) -> Tuple[jax.Array, ...]:
     """Per-dim node indices for one corner offset, with periodic wrap.
-    cell: (..., D) int32.  Returns a D-tuple of (...,) index arrays."""
+    cell: (..., D) int32; periodic: bool or per-dim sequence (mixed decks
+    wrap their periodic dims and clamp the bounded ones, like the
+    reference's per-edge gBnd).  Returns a D-tuple of index arrays."""
+    D = len(offsets)
+    per = (periodic,) * D if isinstance(periodic, bool) else tuple(periodic)
     idx = []
     for d, off in enumerate(offsets):
         i = cell[..., d]
         if off:
             i = i + off
-            if periodic:
+            if per[d]:
                 i = jnp.where(i >= L[d], i - L[d], i)
             else:
                 i = jnp.clip(i, 0, L[d] - 1)
@@ -59,7 +63,7 @@ def _corner_weight(frac: jax.Array, offsets: Tuple[int, ...]) -> jax.Array:
 
 
 def gather_cic(field: jax.Array, cell: jax.Array, frac: jax.Array,
-               periodic: bool = True) -> jax.Array:
+               periodic=True) -> jax.Array:
     """Trilinear (multi-linear) interpolation of ``field`` at particle
     positions.  field: (*L,) or (*L, C); cell/frac: (..., D).
     Returns (...,) or (..., C).  Matches puInterpND1 exactly."""
@@ -78,21 +82,34 @@ def gather_cic(field: jax.Array, cell: jax.Array, frac: jax.Array,
     return out
 
 
+def _wrap_or_clamp_near(near, L, periodic):
+    """NGP node indices: wrap periodic dims, clamp bounded ones."""
+    D = near.shape[-1]
+    per = (periodic,) * D if isinstance(periodic, bool) else tuple(periodic)
+    cols = []
+    for d in range(D):
+        i = near[..., d]
+        if per[d]:
+            i = jnp.where(i >= L[d], 0, i)
+        else:
+            i = jnp.clip(i, 0, L[d] - 1)
+        cols.append(i)
+    return tuple(cols)
+
+
 def gather_ngp(field: jax.Array, cell: jax.Array, frac: jax.Array,
-               periodic: bool = True) -> jax.Array:
+               periodic=True) -> jax.Array:
     """Nearest-grid-point gather: node = round(pos) (puInterpND0,
     src/pusher.c:1164-1178)."""
     D = cell.shape[-1]
     L = field.shape[:D]
     near = cell + (frac >= 0.5).astype(cell.dtype)
-    if periodic:
-        near = jnp.where(near >= jnp.asarray(L, dtype=near.dtype), 0, near)
-    idx = tuple(near[..., d] for d in range(D))
+    idx = _wrap_or_clamp_near(near, L, periodic)
     return field[idx]
 
 
 def scatter_cic(shape: Sequence[int], cell: jax.Array, frac: jax.Array,
-                value: jax.Array, periodic: bool = True,
+                value: jax.Array, periodic=True,
                 dtype=jnp.float32) -> jax.Array:
     """CIC charge deposition: rho[corner] += w_corner * value for the 2^D
     corners of each particle's cell (puDistrND1 semantics).  value carries
@@ -110,13 +127,10 @@ def scatter_cic(shape: Sequence[int], cell: jax.Array, frac: jax.Array,
 
 
 def scatter_ngp(shape: Sequence[int], cell: jax.Array, frac: jax.Array,
-                value: jax.Array, periodic: bool = True,
+                value: jax.Array, periodic=True,
                 dtype=jnp.float32) -> jax.Array:
     """NGP deposition: all charge to the nearest node (puDistrND0)."""
-    D = cell.shape[-1]
     near = cell + (frac >= 0.5).astype(cell.dtype)
-    if periodic:
-        near = jnp.where(near >= jnp.asarray(shape, dtype=near.dtype), 0, near)
-    idx = tuple(near[..., d] for d in range(D))
+    idx = _wrap_or_clamp_near(near, tuple(shape), periodic)
     rho = jnp.zeros(tuple(shape), dtype=dtype)
     return rho.at[idx].add(value.astype(dtype))

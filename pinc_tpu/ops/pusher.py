@@ -51,13 +51,17 @@ def move(p: Particles, L: Sequence[int], periodic: bool = True) -> Particles:
     return Particles(cell=cell, frac=frac, vel=p.vel, alive=p.alive)
 
 
-def reflect(p: Particles, L: Sequence[int]) -> Particles:
+def reflect(p: Particles, L: Sequence[int],
+            bounded: Sequence[bool] | None = None) -> Particles:
     """Elastic specular reflection at non-periodic walls: the physical
     domain is [0, L-1] (node extent); positions fold back and the normal
     velocity flips.  (The reference declares pReflect but leaves it
     unimplemented, src/population.c:468-495 — bounded runs there rely on
     objects absorbing everything; reflection is the sane default for
-    plain Dirichlet/Neumann walls.)"""
+    plain Dirichlet/Neumann walls.)
+
+    bounded: per-dim mask (default: all).  Mixed decks reflect only at
+    their non-periodic walls; periodic dims wrap instead."""
     hi = jnp.asarray([l - 1 for l in L], dtype=p.frac.dtype)
     pos = p.cell.astype(p.frac.dtype) + p.frac
     # fold into [0, 2*hi) then reflect the upper half — handles multiple
@@ -70,10 +74,25 @@ def reflect(p: Particles, L: Sequence[int]) -> Particles:
     n_folds = jnp.floor(pos / hi).astype(jnp.int32)
     flip = (n_folds % 2) != 0
     vel = jnp.where(flip, -p.vel, p.vel)
+    if bounded is not None and not all(bounded):
+        bmask = jnp.asarray(list(bounded))
+        Lf = jnp.asarray(L, dtype=p.frac.dtype)
+        pos_r = jnp.where(bmask, pos_r, jnp.mod(pos, Lf))
+        vel = jnp.where(bmask, vel, p.vel)
     cell = jnp.floor(pos_r).astype(p.cell.dtype)
     frac = pos_r - cell.astype(p.frac.dtype)
-    cell = jnp.clip(cell, 0, jnp.asarray([l - 2 for l in L], dtype=p.cell.dtype))
-    frac = jnp.where(cell.astype(p.frac.dtype) + frac > hi, 1.0, frac)
+    if bounded is None or all(bounded):
+        cell = jnp.clip(cell, 0,
+                        jnp.asarray([l - 2 for l in L], dtype=p.cell.dtype))
+        frac = jnp.where(cell.astype(p.frac.dtype) + frac > hi, 1.0, frac)
+    else:
+        bmask_i = jnp.asarray(list(bounded))
+        cmax = jnp.where(jnp.asarray(list(bounded)),
+                         jnp.asarray([l - 2 for l in L], dtype=p.cell.dtype),
+                         jnp.asarray([l - 1 for l in L], dtype=p.cell.dtype))
+        cell = jnp.clip(cell, 0, cmax)
+        at_wall = bmask_i & (cell.astype(p.frac.dtype) + frac > hi)
+        frac = jnp.where(at_wall, 1.0, frac)
     return Particles(cell=cell, frac=frac, vel=vel, alive=p.alive)
 
 

@@ -36,6 +36,50 @@ from ..solvers.spectral import _inv_k2
 from .mesh import MeshCtx
 
 
+def make_sharded_solver(solver, ctx: MeshCtx, cfg, dtype):
+    """Shared solver dispatch for the sharded simulations: returns a
+    callable ``phi = f(rho)`` on globally-sharded fields.
+
+    Spectral decks get the distributed pencil FFT when opted in via
+    ``parallel:pencilFFT`` or automatically beyond 64 MB grids (and the
+    grid divides the device count); otherwise the FFT runs replicated
+    inside a manual shard_map (XLA cannot yet partition an FFT over these
+    meshes — the CPU backend rejects the partitioner's layouts).  Any
+    other solver (multigrid) runs on the global sharded arrays and XLA
+    partitions its stencils."""
+    import math as _math
+
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from ..solvers.spectral import SpectralSolver
+    from .pic import _shard_map
+
+    fspec = ctx.field_spec()
+    if not isinstance(solver, SpectralSolver):
+        def solve_mg(rho):
+            return lax.with_sharding_constraint(solver(rho),
+                                                ctx.sharding(fspec))
+        return solve_mg
+
+    big = _math.prod(ctx.global_size) * 4 > (64 << 20)
+    divides = (len(ctx.axes) == 3 and not any(
+        g % ctx.n_devices for g in ctx.global_size[:2]))
+    if divides and cfg.get_bool("parallel:pencilfft", big):
+        pencil = PencilSpectralSolver(ctx.global_size, ctx,
+                                      fd=solver.fd, dtype=dtype)
+        return pencil
+
+    rep = P(*(None,) * len(ctx.axes))
+
+    def solve_replicated(rho):
+        rho_rep = lax.with_sharding_constraint(rho, ctx.sharding(rep))
+        phi = _shard_map(solver, ctx.mesh, in_specs=(rep,),
+                         out_specs=rep)(rho_rep)
+        return lax.with_sharding_constraint(phi, ctx.sharding(fspec))
+    return solve_replicated
+
+
 class PencilSpectralSolver:
     """Callable phi = solve(rho) on a mesh-sharded 3D periodic grid."""
 

@@ -81,12 +81,9 @@ class ShardedSimulation(Simulation):
         self._bounded = tuple(b is not BndType.PERIODIC
                               for b in self.bc.upper)
         self.particles = self._distribute(self.particles)
-        from ..solvers.spectral import SpectralSolver
-        self._pencil = None
-        if isinstance(self.solver, SpectralSolver) and self._use_pencil():
-            from .pencil_fft import PencilSpectralSolver
-            self._pencil = PencilSpectralSolver(
-                self.ctx.global_size, self.ctx, dtype=self.spec.dtype)
+        from .pencil_fft import make_sharded_solver
+        self._solve = make_sharded_solver(self.solver, self.ctx, cfg,
+                                          self.spec.dtype)
         self._step_jit = jax.jit(self._sharded_step, donate_argnums=(0,))
         self._half_kick_jit = jax.jit(self._sharded_half_kick,
                                       donate_argnums=(0,))
@@ -169,11 +166,11 @@ class ShardedSimulation(Simulation):
         offset = subdomain_offset(ctx)
         p = pu.move(p, ctx.global_size, periodic=False)     # unwrapped
         if not self.spec.periodic:
-            # bounded domain: specular reflection at the global walls
-            # BEFORE migration, so no charge or particle ever reaches the
-            # wrap planes of the periodic halo/migration rings (they then
-            # carry only zeros across the global edge)
-            p = pu.reflect(p, ctx.global_size)
+            # bounded walls reflect BEFORE migration (so no charge or
+            # particle ever reaches the wrap planes of the periodic
+            # halo/migration rings at those edges); periodic dims of a
+            # mixed deck wrap instead
+            p = pu.reflect(p, ctx.global_size, bounded=self._bounded)
         p, lost = migrate(p, ctx, offset, self.migration_cap)
         if self.objects is not None:
             p, counter = self._local_absorb(p)
@@ -208,26 +205,7 @@ class ShardedSimulation(Simulation):
         return out, ke
 
     # ------------------------------------------------------------ the step
-    def _solve(self, rho):
-        from ..solvers.spectral import SpectralSolver
-        ctx = self.ctx
-        if self._pencil is not None:
-            phi = self._pencil(rho)
-        elif isinstance(self.solver, SpectralSolver):
-            # XLA cannot yet partition an FFT over these meshes (the CPU
-            # backend rejects the partitioner's layouts outright): gather
-            # rho and run the (cheap, O(N log N)) transform replicated on
-            # every device inside a manual shard_map — whose module gets
-            # canonical layouts — then re-shard.  Multigrid is the fully
-            # sharded solver path.
-            rep = P(*(None,) * len(ctx.axes))
-            rho_rep = lax.with_sharding_constraint(rho, ctx.sharding(rep))
-            phi = _shard_map(self.solver, ctx.mesh,
-                             in_specs=(rep,), out_specs=rep)(rho_rep)
-        else:
-            phi = self.solver(rho)
-        return lax.with_sharding_constraint(phi,
-                                            ctx.sharding(ctx.field_spec()))
+    # _solve is bound in __init__ via parallel.pencil_fft.make_sharded_solver
 
     def _sharded_pipeline(self, particles: Particles, do_move: bool,
                           half: bool, rho_obj=None) -> StepOutput:
@@ -312,16 +290,6 @@ class ShardedSimulation(Simulation):
                                       n_lost=lost),
                           rho_obj=rho_obj, obj_potential=obj_phi)
 
-    def _use_pencil(self) -> bool:
-        """Distributed pencil FFT: opt-in via parallel:pencilFFT, or
-        automatic once the grid is too large to replicate (> 64 MB f32)."""
-        ctx = self.ctx
-        if len(ctx.axes) != 3 or any(
-                g % ctx.n_devices for g in ctx.global_size[:2]):
-            return False
-        big = math.prod(ctx.global_size) * 4 > (64 << 20)
-        return self.cfg.get_bool("parallel:pencilfft", big)
-
     def _sharded_half_kick(self, particles: Particles) -> StepOutput:
         # like Simulation._half_kick: no absorption/capacitance before the
         # first field solve; rho_obj passes through as zeros
@@ -352,6 +320,24 @@ def make_simulation(cfg: PincConfig, seed: int = 1, devices=None) -> Simulation:
     from ..config import required_np
     np_needed = required_np(cfg)
     tiled = cfg.get_str("methods:layout", "flat").lower() == "tiled"
+    if tiled:
+        # route unsupported tiled combinations to the flat paths (which
+        # cover the full BC/object matrix) rather than erroring
+        nd = cfg.get_int("grid:ndims")
+        bnds = cfg.get_str_arr("grid:boundaries", 2 * nd)
+        periodic = all(b.strip().upper() == "PERIODIC" for b in bnds)
+        has_obj = any(
+            name.endswith(".h5")
+            for key in ("objects:objects", "files:objects") if key in cfg
+            for name in cfg.get_str_arr(key))
+        if not periodic:
+            msg(WARNING, "tiled layout is periodic-only; running this "
+                "bounded deck on the flat path")
+            tiled = False
+        elif has_obj and np_needed > 1:
+            msg(WARNING, "objects + tiled + nSubdomains>1 is not composed "
+                "yet; running on the flat sharded path")
+            tiled = False
     if np_needed > 1:
         if tiled:
             from .tiled_pic import ShardedTiledSimulation

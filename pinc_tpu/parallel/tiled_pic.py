@@ -58,6 +58,12 @@ class ShardedTiledSimulation(TiledSimulation):
                 "objects on the sharded tiled path are not composed yet; "
                 "use the flat sharded path (methods:layout=flat) or a "
                 "single device")
+        if self._rebucket_mode != "exchange":
+            raise ValueError(
+                "the sharded tiled path supports tiles:rebucket=exchange "
+                "only (a per-device sort cannot re-home cross-device "
+                "migrants); drop the tiles:rebucket override or use a "
+                "single device")
         self.ctx = make_mesh(self.spec.n_subdomains, self.spec.true_size,
                              devices=devices)
         ctx = self.ctx
@@ -74,12 +80,9 @@ class ShardedTiledSimulation(TiledSimulation):
             vel=P(None, None, *ctx.axes, None),
             alive=P(None, *ctx.axes, None))
         self.state = self._shard_state(self.state)
-        from ..solvers.spectral import SpectralSolver
-        self._pencil = None
-        if isinstance(self.solver, SpectralSolver) and self._want_pencil():
-            from .pencil_fft import PencilSpectralSolver
-            self._pencil = PencilSpectralSolver(
-                ctx.global_size, ctx, dtype=self.spec.dtype)
+        from .pencil_fft import make_sharded_solver
+        self._solve = make_sharded_solver(self.solver, ctx, cfg,
+                                          self.spec.dtype)
         self._tstep_jit = jax.jit(self._sharded_tiled_step,
                                   donate_argnums=(0,))
         self._thalf_jit = jax.jit(self._sharded_tiled_half_kick,
@@ -121,23 +124,23 @@ class ShardedTiledSimulation(TiledSimulation):
         D = ln.n_dims
         NTl, B = ln.NT, ln.B
         roll_fns = self._roll_fns()
-        rho = None
+        # sum the padded tile blocks across species and fold ONCE — the
+        # fold is an HBM pass plus 6 ppermute halo-plane transfers
+        tiles = None
         for s in range(st.lpos.shape[0]):
             q = float(np.asarray(self.params.charge)[s])
             xyz = st.lpos[s].reshape(D, NTl, B)
             alive = st.alive[s].reshape(NTl, B)
+            value = jnp.where(alive, jnp.asarray(q, jnp.float32), 0.0)
             if self._backend == "pallas":
                 from ..ops import pallas_tiled as ptl
-                value = jnp.where(alive, jnp.asarray(q, jnp.float32), 0.0)
-                tiles = ptl.deposit(xyz, value, ln,
-                                    mxu_dtype=self._mxu_dtype)
-                tiles = tiles.reshape((NTl,) + (ln.P,) * D)
+                t = ptl.deposit(xyz, value, ln,
+                                mxu_dtype=self._mxu_dtype)
+                t = t.reshape((NTl,) + (ln.P,) * D)
             else:
-                value = jnp.where(alive, jnp.asarray(q, jnp.float32), 0.0)
-                tiles = tl._deposit_tiles(jnp.moveaxis(xyz, 0, -1),
-                                          value, ln)
-            r = tl.fold_to_global(tiles, ln, roll_fns=roll_fns)
-            rho = r if rho is None else rho + r
+                t = tl._deposit_tiles(jnp.moveaxis(xyz, 0, -1), value, ln)
+            tiles = t if tiles is None else tiles + t
+        rho = tl.fold_to_global(tiles, ln, roll_fns=roll_fns)
         return rho.astype(self.spec.dtype)
 
     def _local_kick(self, st, E_local, half: bool):
@@ -210,30 +213,7 @@ class ShardedTiledSimulation(TiledSimulation):
         return TiledState(lpos=lpos, vel=vel, alive=alive), dropped
 
     # ------------------------------------------------------------ the step
-    def _solve(self, rho):
-        from ..solvers.spectral import SpectralSolver
-        ctx = self.ctx
-        fspec = ctx.field_spec()
-        if isinstance(self.solver, SpectralSolver):
-            if self._pencil is not None:
-                return self._pencil(rho)
-            rep = P(*(None,) * len(ctx.axes))
-            rho_rep = lax.with_sharding_constraint(rho, ctx.sharding(rep))
-            phi = _shard_map(self.solver, ctx.mesh, in_specs=(rep,),
-                             out_specs=rep)(rho_rep)
-        else:
-            phi = self.solver(rho)
-        return lax.with_sharding_constraint(phi, ctx.sharding(fspec))
-
-    def _want_pencil(self) -> bool:
-        """Distributed pencil FFT: opt-in, or automatic once the grid is
-        too large to replicate cheaply (> 64 MB f32)."""
-        ctx = self.ctx
-        if len(ctx.axes) != 3 or any(
-                g % ctx.n_devices for g in ctx.global_size[:2]):
-            return False
-        big = math.prod(ctx.global_size) * 4 > (64 << 20)
-        return self.cfg.get_bool("parallel:pencilfft", big)
+    # _solve is bound in __init__ via parallel.pencil_fft.make_sharded_solver
 
     def _pipeline(self, st: TiledState, do_move: bool, half: bool):
         ctx = self.ctx

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bc import BCSpec, gradient_bc
+from .grid import BndType
 from .config import PincConfig
 from .grid import GridSpec, gradient, potential_energy
 from .population import Particles, SpeciesParams, initialize, initialize_auto
@@ -87,6 +88,12 @@ class Simulation:
         self.solver = SOLVERS.select(cfg, "methods:poisson")
 
         self.bc = BCSpec.from_config(cfg)
+        # per-dim periodicity for the CIC/NGP wrap-or-clamp (mixed decks
+        # wrap their periodic dims; a plain bool keeps uniform decks'
+        # jit keys unchanged)
+        dims_periodic = tuple(b is BndType.PERIODIC for b in self.bc.upper)
+        self._periodic_dims = (self.spec.periodic if len(set(dims_periodic)) == 1
+                               else dims_periodic)
         self.particles, self.params = initialize_auto(cfg, self.spec,
                                                       seed=seed)
         self.n_time_steps = cfg.get_int("time:ntimesteps")
@@ -122,7 +129,7 @@ class Simulation:
     # ----------------------------------------------------------------- step
     def _fields_from_particles(self, particles: Particles):
         rho = self.distr(particles, self.params, self.spec.global_size,
-                         periodic=self.spec.periodic, dtype=self.spec.dtype)
+                         periodic=self._periodic_dims, dtype=self.spec.dtype)
         phi = self.solver(rho)
         if self.spec.periodic:
             E = -gradient(phi)
@@ -143,7 +150,7 @@ class Simulation:
             rho_obj = self.spec.zeros()
         rho, phi, E = self._fields_from_particles(particles)
         particles, ke = self.acc(particles, self.params, 0.5 * E,
-                                 periodic=self.spec.periodic)
+                                 periodic=self._periodic_dims)
         pe = potential_energy(rho, phi)
         return StepOutput(particles, rho, phi, E,
                           Diagnostics(kin_energy=ke, pot_energy=pe,
@@ -159,8 +166,13 @@ class Simulation:
         particles = _pusher_ops.move(particles, self.spec.global_size,
                                      periodic=self.spec.periodic)
         if not self.spec.periodic:
-            # bounded domain: specular reflection at the walls
-            particles = _pusher_ops.reflect(particles, self.spec.global_size)
+            # bounded walls reflect; periodic dims of a MIXED deck wrap
+            # (move ran unwrapped because spec.periodic is False)
+            bounded = tuple(b is not BndType.PERIODIC
+                            for b in self.bc.upper)
+            particles = _pusher_ops.reflect(particles,
+                                            self.spec.global_size,
+                                            bounded=bounded)
         particles = self.migrate(particles)
 
         obj_phi = None
@@ -168,7 +180,7 @@ class Simulation:
             particles, rho_obj = self.objects.collect_charge(
                 particles, self.params, rho_obj)
             rho = self.distr(particles, self.params, self.spec.global_size,
-                             periodic=self.spec.periodic,
+                             periodic=self._periodic_dims,
                              dtype=self.spec.dtype)
             rho = rho + rho_obj
             phi = self.solver(rho)
@@ -180,7 +192,7 @@ class Simulation:
             rho, phi, E = self._fields_from_particles(particles)
 
         particles, ke = self.acc(particles, self.params, E,
-                                 periodic=self.spec.periodic)
+                                 periodic=self._periodic_dims)
         pe = potential_energy(rho, phi)
         return StepOutput(particles, rho, phi, E,
                           Diagnostics(kin_energy=ke, pot_energy=pe,

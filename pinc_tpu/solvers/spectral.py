@@ -64,6 +64,7 @@ class SpectralSolver:
     def __init__(self, shape: Sequence[int], fd: bool = False,
                  dtype=jnp.float32):
         self.shape = tuple(shape)
+        self.fd = fd          # exposed so distributed variants match it
         self._inv_k2 = jnp.asarray(_inv_k2(self.shape, fd, np.float32))
         self.dtype = dtype
 

@@ -62,11 +62,17 @@ class TiledSimulation(Simulation):
         # 128-lane MXU tile, so deposit/gather stream each particle slot
         # exactly once (measured 59->51 ms f32, 50->41 bf16 per slab vs
         # M=2); re-bucketing is cheap (exchange kernels) and the
-        # out-of-margin counter triggers early re-buckets when beaten
-        v = np.abs(np.asarray(self.particles.vel))
-        v = v[np.asarray(self.particles.alive)]
-        vmax_est = max(float(np.percentile(v, 99.9)) * 1.5
-                       if v.size else 0.0, 1e-3)
+        # out-of-margin counter triggers early re-buckets when beaten.
+        # One host pass computes the per-species velocity scales used for
+        # both the margin default and the per-species re-bucket cadences.
+        vel_np = np.abs(np.asarray(self.particles.vel))
+        alive_np = np.asarray(self.particles.alive)
+        vmax_s = []
+        for s in range(self.particles.n_species):
+            vs = vel_np[s][alive_np[s]]
+            vmax_s.append(max(float(np.percentile(vs, 99.9)) * 1.5
+                              if vs.size else 0.0, 1e-3))
+        vmax_est = max(vmax_s)
         M = cfg.get_int("tiles:margin", 1 if 1.0 / vmax_est >= 4 else 2)
         # kernel MXU+VPU cycles scale with the SLOT count NT*B, not the
         # live count, so head-room is paid for every step: 1.25 default,
@@ -89,13 +95,6 @@ class TiledSimulation(Simulation):
         # PER SPECIES: ions (mass ratio ~2000) drift ~40x slower than
         # electrons, so their buckets stay valid ~40x longer — scheduling
         # them independently nearly halves the re-bucket bill
-        vel_np = np.abs(np.asarray(self.particles.vel))
-        alive_np = np.asarray(self.particles.alive)
-        vmax_s = []
-        for s in range(self.particles.n_species):
-            vs = vel_np[s][alive_np[s]]
-            vmax_s.append(max(float(np.percentile(vs, 99.9)) * 1.5
-                              if vs.size else 0.0, 1e-3))
         if "tiles:rebucketevery" in cfg:
             self.rebucket_every = cfg.get_int("tiles:rebucketevery")
             self.rebucket_every_s = [self.rebucket_every] * len(vmax_s)

@@ -122,3 +122,30 @@ def test_boris_reduces_to_leapfrog_without_b():
     pa, kea = pusher.acc_boris(p0, params, field, B)
     pb, keb = pusher.acc_leapfrog(p0, params, field)
     assert np.allclose(np.asarray(pa.vel), np.asarray(pb.vel), atol=1e-6)
+
+
+def test_reflect_mixed_bounded_dims():
+    """Mixed decks reflect only at bounded walls; periodic dims wrap."""
+    import jax.numpy as jnp
+    from pinc_tpu.ops.pusher import reflect
+    from pinc_tpu.population import Particles
+
+    L = (8, 8, 8)
+    # one particle past the upper edge in x and z, below 0 in y
+    cell = jnp.asarray([[[7, 0, 7]]], jnp.int32)
+    frac = jnp.asarray([[[0.9, 0.2, 0.9]]], jnp.float32)
+    vel = jnp.asarray([[[0.5, -0.5, 0.5]]], jnp.float32)
+    p = Particles(cell=cell, frac=frac,
+                  vel=vel, alive=jnp.asarray([[True]]))
+    p2 = Particles(cell=cell, frac=frac + jnp.asarray([0.5, -0.5, 0.5]),
+                   vel=vel, alive=p.alive)
+    out = reflect(p2, L, bounded=(False, False, True))
+    pos = np.asarray(out.cell[0, 0]).astype(float) + np.asarray(
+        out.frac[0, 0])
+    v = np.asarray(out.vel[0, 0])
+    # x periodic: 8.4 wraps to 0.4, velocity unchanged
+    assert np.isclose(pos[0], 0.4, atol=1e-5) and v[0] == 0.5
+    # y periodic: -0.3 wraps to 7.7, velocity unchanged
+    assert np.isclose(pos[1], 7.7, atol=1e-5) and v[1] == -0.5
+    # z bounded: 8.4 reflects about hi=7 to 5.6, velocity flips
+    assert np.isclose(pos[2], 5.6, atol=1e-5) and v[2] == -0.5
