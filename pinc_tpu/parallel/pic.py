@@ -330,9 +330,9 @@ def make_simulation(cfg: PincConfig, seed: int = 1, devices=None) -> Simulation:
             name.endswith(".h5")
             for key in ("objects:objects", "files:objects") if key in cfg
             for name in cfg.get_str_arr(key))
-        if not periodic:
-            msg(WARNING, "tiled layout is periodic-only; running this "
-                "bounded deck on the flat path")
+        if not periodic and np_needed > 1:
+            msg(WARNING, "bounded + tiled + nSubdomains>1 is not composed "
+                "yet; running on the flat sharded path")
             tiled = False
         elif has_obj and np_needed > 1:
             msg(WARNING, "objects + tiled + nSubdomains>1 is not composed "

@@ -58,6 +58,10 @@ class ShardedTiledSimulation(TiledSimulation):
                 "objects on the sharded tiled path are not composed yet; "
                 "use the flat sharded path (methods:layout=flat) or a "
                 "single device")
+        if not self.spec.periodic:
+            raise NotImplementedError(
+                "bounded domains on the sharded tiled path are not "
+                "composed yet; use the flat sharded path")
         if self._rebucket_mode != "exchange":
             raise ValueError(
                 "the sharded tiled path supports tiles:rebucket=exchange "

@@ -50,10 +50,9 @@ class TiledState:
 class TiledSimulation(Simulation):
     def __init__(self, cfg: PincConfig, seed: int = 1):
         super().__init__(cfg, seed=seed)
-        if not self.spec.periodic:
-            raise NotImplementedError("tiled layout is periodic-only "
-                                      "(bounded decks route to the flat "
-                                      "path via make_simulation)")
+        from .grid import BndType
+        self._bounded_dims = tuple(b is not BndType.PERIODIC
+                                   for b in self.bc.upper)
 
         nd = self.spec.n_dims
         T = cfg.get_int("tiles:tilesize", 8)
@@ -275,6 +274,8 @@ class TiledSimulation(Simulation):
         deposit -> rho+=rhoObj -> solve -> capacitance -> solve,
         src/main.c:222-240) on the tiled layout."""
         st = TiledState(lpos=st.lpos + st.vel, vel=st.vel, alive=st.alive)
+        if not self.spec.periodic:
+            st = self._reflect_walls(st)
         n_out = self._out_of_margin(st)
         st, counter = self._absorb(st)
         rho_obj = self._spread_obj_charge(rho_obj, counter)
@@ -282,7 +283,11 @@ class TiledSimulation(Simulation):
         phi = self.solver(rho)
         rho, obj_phi = self.objects.apply_capacitance(rho, phi)
         phi = self.solver(rho)              # 2nd solve (src/main.c:240)
-        E = -gradient(phi)
+        if self.spec.periodic:
+            E = -gradient(phi)
+        else:
+            from .bc import gradient_bc
+            E = -gradient_bc(phi, self.bc)
         st, ke = self._kick(st, E, half=False)
         pe = potential_energy(rho, phi)
         return (st, rho, phi, E,
@@ -323,7 +328,11 @@ class TiledSimulation(Simulation):
     def _fields(self, st: TiledState):
         rho = self._deposit_rho(st)
         phi = self.solver(rho)
-        E = -gradient(phi)
+        if self.spec.periodic:
+            E = -gradient(phi)
+        else:
+            from .bc import gradient_bc
+            E = -gradient_bc(phi, self.bc)
         return rho, phi, E
 
     def _kick(self, st: TiledState, E: jax.Array, half: bool):
@@ -377,8 +386,32 @@ class TiledSimulation(Simulation):
         sharded step)."""
         return self._tiled_step(st)
 
+    def _reflect_walls(self, st: TiledState) -> TiledState:
+        """Specular reflection at non-periodic global walls, on tile-local
+        planes.  Deposits and gathers never cross a bounded wall (hat
+        weights vanish one cell out, and reflection keeps every position
+        in [0, L-1]), so the periodic tile machinery needs no other
+        change: the wrap planes at bounded edges only ever carry zeros."""
+        origins = tl.tile_origins(self.ts)            # (NT, D)
+        lpos, vel = st.lpos, st.vel
+        for d, bounded in enumerate(self._bounded_dims):
+            if not bounded:
+                continue
+            hi = float(self.ts.grid[d] - 1)
+            org = origins[:, d][None, :, None]        # (1, NT, 1)
+            g = lpos[:, d] + org                      # (S, NT, B)
+            period = 2.0 * hi
+            g_m = jnp.mod(g, period)
+            g_r = jnp.where(g_m > hi, period - g_m, g_m)
+            flip = (jnp.floor(g / hi).astype(jnp.int32) % 2) != 0
+            lpos = lpos.at[:, d].set(g_r - org)
+            vel = vel.at[:, d].set(jnp.where(flip, -vel[:, d], vel[:, d]))
+        return TiledState(lpos=lpos, vel=vel, alive=st.alive)
+
     def _tiled_step(self, st: TiledState):
         st = TiledState(lpos=st.lpos + st.vel, vel=st.vel, alive=st.alive)
+        if not self.spec.periodic:
+            st = self._reflect_walls(st)
         n_out = self._out_of_margin(st)
         rho, phi, E = self._fields(st)
         st, ke = self._kick(st, E, half=False)
