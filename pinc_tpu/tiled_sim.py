@@ -409,6 +409,8 @@ class TiledSimulation(Simulation):
         return TiledState(lpos=lpos, vel=vel, alive=st.alive)
 
     def _tiled_step(self, st: TiledState):
+        if self._use_fused:
+            return self._tiled_step_fused(st)
         st = TiledState(lpos=st.lpos + st.vel, vel=st.vel, alive=st.alive)
         if not self.spec.periodic:
             st = self._reflect_walls(st)
@@ -418,6 +420,60 @@ class TiledSimulation(Simulation):
         pe = potential_energy(rho, phi)
         return st, rho, phi, E, Diagnostics(kin_energy=ke, pot_energy=pe,
                                             n_lost=n_out)
+
+    @property
+    def _use_fused(self) -> bool:
+        """Fused move+deposit / gather+kick kernels: the periodic
+        no-object pallas path (bounded walls and object absorption hook
+        in between move and deposit, so those decks take the unfused
+        sequence)."""
+        return (self._backend == "pallas" and self.spec.periodic
+                and self.objects is None)
+
+    def _tiled_step_fused(self, st: TiledState):
+        """One step with the fused kernels: drift, margin count, masking,
+        deposition in one pass per species; gather, kick and the KE sum in
+        another.  Matches the unfused sequence exactly (same rounded
+        weights) — the glue passes (move, mask build, margin scan, field
+        round-trip) never touch HBM."""
+        from .ops import pallas_tiled as ptl
+        interp = jax.devices()[0].platform == "cpu"
+        S = st.lpos.shape[0]
+        charge = np.asarray(self.params.charge)
+        mass = np.asarray(self.params.mass)
+        qm = charge / mass
+        alive_f = [st.alive[s].astype(jnp.float32) for s in range(S)]
+        tiles = None
+        new_lpos = []
+        n_out = jnp.zeros((), jnp.float32)
+        for s in range(S):
+            t, nxyz, n_o = ptl.deposit_move(
+                st.lpos[s], st.vel[s], alive_f[s], float(charge[s]),
+                self.ts, interpret=interp, mxu_dtype=self._mxu_dtype)
+            tiles = t if tiles is None else tiles + t
+            new_lpos.append(nxyz)
+            n_out = n_out + n_o
+        rho = tl.fold_to_global(
+            tiles.reshape((self.ts.NT,) + (self.ts.P,) * 3),
+            self.ts).astype(self.spec.dtype)
+        phi = self.solver(rho)
+        E = -gradient(phi)
+        P = self.ts.P
+        ep5 = tl.pad_tiles(E, self.ts).reshape(
+            (self.ts.NT,) + (P,) * 3 + (E.shape[-1],))
+        vels, kes = [], []
+        for s in range(S):
+            nv, vdot = ptl.gather_kick(
+                ep5, new_lpos[s], st.vel[s], alive_f[s], float(qm[s]),
+                self.ts, interpret=interp, mxu_dtype=self._mxu_dtype)
+            vels.append(nv)
+            kes.append(0.5 * float(mass[s]) * vdot)
+        st = TiledState(lpos=jnp.stack(new_lpos), vel=jnp.stack(vels),
+                        alive=st.alive)
+        pe = potential_energy(rho, phi)
+        return st, rho, phi, E, Diagnostics(
+            kin_energy=jnp.stack(kes), pot_energy=pe,
+            n_lost=n_out.astype(jnp.int32))
 
     # ---------------------------------------------------------------- run
     def run(self, writer=None, progress_every: int = 10):

@@ -43,12 +43,43 @@ def test_pallas_gather_matches_xla(setup):
     assert np.abs(g_ref - g_pl)[mask].max() < 1e-5
 
 
-def test_layout_divides():
-    from pinc_tpu.ops.pallas_tiled import _layout
-    for b in (128, 768, 6144, 49152, 10240):
-        bbc, gj = _layout(b)
-        assert b == gj * 8 * bbc
-        assert bbc % 2 == 0 or bbc == b // 8
-    import pytest as _pt
-    with _pt.raises(ValueError):
-        _layout(12)
+def test_fused_deposit_move(setup):
+    """deposit_move == (move in XLA, then deposit), plus the margin count."""
+    ts, lp, la, rng = setup
+    xyz = jnp.moveaxis(lp, -1, 0)
+    vel = jnp.asarray(rng.normal(scale=0.3, size=xyz.shape)
+                      .astype(np.float32))
+    alive_f = la.astype(jnp.float32)
+    q = -1.7
+    tiles, new_xyz, n_out = pt.deposit_move(xyz, vel, alive_f, q, ts,
+                                            interpret=True)
+    moved = xyz + vel
+    np.testing.assert_allclose(np.asarray(new_xyz), np.asarray(moved),
+                               rtol=1e-6)
+    value = jnp.where(la, q, 0.0)
+    tiles_ref = pt.deposit(moved, value, ts, interpret=True)
+    np.testing.assert_allclose(np.asarray(tiles), np.asarray(tiles_ref),
+                               rtol=1e-5, atol=1e-5)
+    lo, hi = -float(ts.M), float(ts.T + ts.M)
+    bad = np.asarray(((moved < lo) | (moved >= hi)).any(axis=0) & la)
+    assert int(n_out) == bad.sum()
+
+
+def test_fused_gather_kick(setup):
+    """gather_kick == gather then v += qm*E, KE sum = sum v.(v+dv)."""
+    ts, lp, la, rng = setup
+    E = jnp.asarray(rng.normal(size=(16, 16, 16, 3)).astype(np.float32))
+    Ep = pad_tiles(E, ts).reshape(ts.NT, ts.P, ts.P, ts.P, 3)
+    xyz = jnp.moveaxis(lp, -1, 0)
+    vel = jnp.asarray(rng.normal(scale=0.3, size=xyz.shape)
+                      .astype(np.float32))
+    alive_f = la.astype(jnp.float32)
+    qm = -0.37
+    new_vel, vdot = pt.gather_kick(Ep, xyz, vel, alive_f, qm, ts,
+                                   interpret=True)
+    Epart = pt.gather(Ep, xyz, ts, interpret=True)       # (C, NT, B)
+    dv = qm * Epart * alive_f[None]
+    np.testing.assert_allclose(np.asarray(new_vel), np.asarray(vel + dv),
+                               rtol=1e-5, atol=1e-6)
+    vdot_ref = float(jnp.sum(jnp.sum(vel * (vel + dv), axis=0) * alive_f))
+    assert abs(float(vdot) - vdot_ref) < 1e-2 * max(1.0, abs(vdot_ref))

@@ -157,3 +157,24 @@ def test_layout_dispatch():
     from pinc_tpu.parallel.pic import make_simulation
     sim = make_simulation(PincConfig.from_string(DECK))
     assert isinstance(sim, TiledSimulation)
+
+
+def test_fused_step_matches_unfused():
+    """The fused pallas step (interpret mode on CPU) reproduces the
+    unfused XLA tiled path."""
+    deck = DECK + "backend = pallas\nmxuDtype = f32\n"
+    sim_f = TiledSimulation(PincConfig.from_string(deck), seed=3)
+    assert sim_f._use_fused
+    sim_u = TiledSimulation(PincConfig.from_string(
+        DECK + "backend = xla\n"), seed=3)
+    st_f, st_u = sim_f.state, sim_u.state
+    for _ in range(3):
+        st_f, rho_f, phi_f, _, d_f = sim_f._tiled_step(st_f)
+        st_u, rho_u, phi_u, _, d_u = sim_u._tiled_step(st_u)
+    np.testing.assert_allclose(np.asarray(st_f.lpos),
+                               np.asarray(st_u.lpos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_f.vel),
+                               np.asarray(st_u.vel), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_f.kin_energy),
+                               np.asarray(d_u.kin_energy), rtol=1e-5)
+    assert int(d_f.n_lost) == int(d_u.n_lost)
