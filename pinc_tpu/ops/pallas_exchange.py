@@ -51,6 +51,42 @@ def _chunk(B: int, target: int = 2048) -> int:
 
 
 # ---------------------------------------------------------------------------
+# rank builds: two-level scan (within-chunk triangular matmul + chunk carry)
+# ---------------------------------------------------------------------------
+
+_TRI_C = 128
+_TRI_U_NP = None
+
+
+def _tri_u():
+    # cache the numpy constant only — a cached jnp array created under a
+    # trace (e.g. first call inside shard_map) would leak a tracer
+    global _TRI_U_NP
+    if _TRI_U_NP is None:
+        import numpy as np
+        _TRI_U_NP = np.triu(np.ones((_TRI_C, _TRI_C), np.float32))
+    return jnp.asarray(_TRI_U_NP)
+
+
+def _chunked_cumsum(m: jax.Array) -> jax.Array:
+    """Inclusive cumsum along axis 1 of (NT, B) f32, exact for counts.
+
+    A plain lax.cumsum at this size costs ~14 shifted-add passes over the
+    whole array in HBM (~5 ms per scan at 4096x9216 on v5e); this runs the
+    within-chunk prefix as one (NT*NC, 128) @ U128 MXU matmul and only the
+    (NT, NC) chunk totals through cumsum (measured 10.2 -> 7.4 ms for the
+    two-scan rank build)."""
+    NT, B = m.shape
+    if B % _TRI_C:
+        return jnp.cumsum(m, axis=1)
+    NC = B // _TRI_C
+    incl = (m.reshape(NT * NC, _TRI_C) @ _tri_u()).reshape(NT, NC, _TRI_C)
+    tot = incl[:, :, -1]
+    base = jnp.cumsum(tot, axis=1) - tot
+    return (incl + base[:, :, None]).reshape(NT, B)
+
+
+# ---------------------------------------------------------------------------
 # extract: compacted leaver buffers + killed alive plane
 # ---------------------------------------------------------------------------
 
@@ -73,10 +109,15 @@ def _extract_kernel(rank_ref, alive_ref, *plane_refs_out, K2, CB):
     rows.append(jnp.zeros_like(alive))
     pay = jnp.stack(rows, axis=0)                       # (8, CB)
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (CB, K2), 1)
-    onehot = (rank[:, None] == cols).astype(jnp.float32)    # (CB, K2)
+    # one-hot built TRANSPOSED — slot ranks stay on the lane axis against
+    # a sublane iota (building (CB, K2) instead relayouts the CB-lane rank
+    # vector onto sublanes, a full transpose per chunk; measured 33 -> 9 ms
+    # per extract pass at 4096x9216).  The dot contracts the lane axes of
+    # both operands (the same A@B^T form the deposit kernel uses).
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (K2, CB), 0)
+    onehot_t = (kidx == rank[None, :]).astype(jnp.float32)   # (K2, CB)
     buf_ref[0, :, :] += jax.lax.dot_general(
-        pay, onehot, (((1,), (0,)), ((), ())),
+        pay, onehot_t, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -109,46 +150,64 @@ def extract(rank: jax.Array, alive: jax.Array, planes: Tuple[jax.Array, ...],
 # merge: place incoming buffer rows at free slots
 # ---------------------------------------------------------------------------
 
-def _merge_kernel(frank_ref, alive_ref, inc_ref, *plane_refs_out, K, CB):
+def _merge_kernel(act_ref, frank_ref, alive_ref, inc_ref, *plane_refs_out,
+                  K, CB):
     n_pl = (len(plane_refs_out) - 1) // 2
     plane_refs = plane_refs_out[:n_pl]
     out_refs = plane_refs_out[n_pl:2 * n_pl]
     alive_out_ref = plane_refs_out[-1]
 
-    inc = inc_ref[0, :, :]                              # (8, 2K)
-    K2 = 2 * K
-    # both sign-blocks are compacted, so validity and arrival order are
-    # pure iota arithmetic against the two counts — no relayouts
-    n_m = jnp.sum(inc[6, :K]).astype(jnp.int32)
-    n_p = jnp.sum(inc[6, K:]).astype(jnp.int32)
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (K2, 1), 0)
-    vrank = jnp.where(iota_s < K, iota_s, iota_s - K + n_m)  # (2K, 1)
-    # boolean-armed jnp.where crashes the Mosaic compiler (tpu_compile
-    # helper exit 1, bisected 2026-08-16) — compose with &/| instead
-    valid = (((iota_s < K) & (iota_s < n_m))
-             | ((iota_s >= K) & (iota_s - K < n_p)))
+    # arrivals fill the lowest free-slot ranks, so most chunks receive
+    # none: skip their placement matmul entirely (the passthrough write
+    # is the HBM floor; measured 26 -> 11 ms per merge pass at 4096x9216)
+    @pl.when(act_ref[0, 0] == 0)
+    def _():
+        for c in range(n_pl):
+            out_refs[c][0, 0, :] = plane_refs[c][0, 0, :]
+        alive_out_ref[0, 0, :] = alive_ref[0, 0, :]
 
-    frank = frank_ref[0, 0, :]                          # (CB,) int32, -1=used
-    onehot = ((vrank == frank[None, :]) & valid).astype(jnp.float32)
-    placed = jax.lax.dot_general(
-        inc, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)             # (8, CB)
-    hit = placed[6, :] > 0.5
-    for c in range(n_pl):
-        out_refs[c][0, 0, :] = jnp.where(hit, placed[c, :],
-                                         plane_refs[c][0, 0, :])
-    alive_out_ref[0, 0, :] = jnp.where(hit, 1.0, alive_ref[0, 0, :])
+    @pl.when(act_ref[0, 0] != 0)
+    def _():
+        inc = inc_ref[0, :, :]                          # (8, 2K)
+        K2 = 2 * K
+        # both sign-blocks are compacted, so validity and arrival order
+        # are pure iota arithmetic against the two counts — no relayouts
+        n_m = jnp.sum(inc[6, :K]).astype(jnp.int32)
+        n_p = jnp.sum(inc[6, K:]).astype(jnp.int32)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (K2, 1), 0)
+        vrank = jnp.where(iota_s < K, iota_s, iota_s - K + n_m)  # (2K, 1)
+        # boolean-armed jnp.where crashes the Mosaic compiler (tpu_compile
+        # helper exit 1, bisected 2026-08-16) — compose with &/| instead
+        valid = (((iota_s < K) & (iota_s < n_m))
+                 | ((iota_s >= K) & (iota_s - K < n_p)))
+
+        frank = frank_ref[0, 0, :]                      # (CB,) int32, -1=used
+        onehot = ((vrank == frank[None, :]) & valid).astype(jnp.float32)
+        placed = jax.lax.dot_general(
+            inc, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (8, CB)
+        hit = placed[6, :] > 0.5
+        for c in range(n_pl):
+            out_refs[c][0, 0, :] = jnp.where(hit, placed[c, :],
+                                             plane_refs[c][0, 0, :])
+        alive_out_ref[0, 0, :] = jnp.where(hit, 1.0, alive_ref[0, 0, :])
 
 
 def merge(frank: jax.Array, alive: jax.Array, inc: jax.Array,
-          planes: Tuple[jax.Array, ...], interpret: bool = False):
+          planes: Tuple[jax.Array, ...], active=None,
+          interpret: bool = False):
     """frank (NT, B) int32 free-slot ranks (-1 = occupied), alive (NT, B)
     f32 (post-kill), inc (NT, 8, 2K) rolled-in buffers, planes: six (NT, B)
-    f32.  Returns (planes', alive')."""
+    f32, active: optional (NT, NC) int32 per-chunk flags (0 = chunk holds
+    no free-slot rank below the arrival count, placement skipped).
+    Returns (planes', alive')."""
     NT, B = frank.shape
     K2 = inc.shape[-1]
     CB = _chunk(B)
-    grid = (NT, B // CB)
+    NC = B // CB
+    if active is None:
+        active = jnp.ones((NT, NC), jnp.int32)
+    grid = (NT, NC)
     row = pl.BlockSpec((1, 1, CB), lambda i, j: (i, 0, j),
                        memory_space=pltpu.VMEM)
     n_pl = len(planes)
@@ -157,12 +216,14 @@ def merge(frank: jax.Array, alive: jax.Array, inc: jax.Array,
         out_shape=tuple(jax.ShapeDtypeStruct((NT, 1, B), jnp.float32)
                         for _ in range(n_pl + 1)),
         grid=grid,
-        in_specs=[row, row,
+        in_specs=[pl.BlockSpec((1, 1), lambda i, j: (i, j),
+                               memory_space=pltpu.SMEM),
+                  row, row,
                   pl.BlockSpec((1, 8, K2), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)] + [row] * n_pl,
         out_specs=tuple([row] * (n_pl + 1)),
         interpret=interpret,
-    )(frank.reshape(NT, 1, B), alive.reshape(NT, 1, B), inc,
+    )(active, frank.reshape(NT, 1, B), alive.reshape(NT, 1, B), inc,
       *[p.reshape(NT, 1, B) for p in planes])
     new_planes = tuple(o.reshape(NT, B) for o in outs[:n_pl])
     return new_planes, outs[n_pl].reshape(NT, B)
@@ -188,8 +249,8 @@ def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
     al = alive > 0.5
     lm = al & (coord < 0.0)
     lp = al & (coord >= float(T))
-    rm = jnp.cumsum(lm.astype(jnp.int32), axis=1) - 1
-    rp = jnp.cumsum(lp.astype(jnp.int32), axis=1) - 1
+    rm = _chunked_cumsum(lm.astype(jnp.float32)).astype(jnp.int32) - 1
+    rp = _chunked_cumsum(lp.astype(jnp.float32)).astype(jnp.int32) - 1
     rank = jnp.where(lm & (rm < K), rm,
                      jnp.where(lp & (rp < K), K + rp, -1)).astype(jnp.int32)
     # overflow leavers (rank >= K) must still die: rank 2K matches no
@@ -212,10 +273,22 @@ def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
     inc = inc.at[:, d, :].add(jnp.where(inc[:, 6, :] > 0.5, shift, 0.0))
 
     free = ~(alive2 > 0.5)
-    fr = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
+    fr_incl = _chunked_cumsum(free.astype(jnp.float32))
+    fr = fr_incl.astype(jnp.int32) - 1
     frank = jnp.where(free, fr, -1).astype(jnp.int32)
 
-    new_planes, alive3 = merge(frank, alive2, inc, planes,
+    # per-chunk activity for the merge: chunk c places an arrival iff its
+    # first free slot's rank (= free count before the chunk) is below the
+    # arrival count AND it has a free slot at all
+    CB = _chunk(B)
+    NC = B // CB
+    ends = fr_incl[:, CB - 1::CB]                            # (NT, NC)
+    base = jnp.concatenate(
+        [jnp.zeros((NT, 1), fr_incl.dtype), ends[:, :-1]], axis=1)
+    n_arr = jnp.sum(inc[:, 6, :], axis=1, keepdims=True)     # (NT, 1)
+    active = ((base < n_arr) & (ends > base)).astype(jnp.int32)
+
+    new_planes, alive3 = merge(frank, alive2, inc, planes, active=active,
                                interpret=interpret)
     return new_planes, alive3
 

@@ -273,6 +273,137 @@ def gather(field_pad: jax.Array, xyz: jax.Array, ts: TileSpec,
 
 
 # ---------------------------------------------------------------------------
+# Mega-fused step: kick + drift + deposit, ALL species in one kernel
+# ---------------------------------------------------------------------------
+
+def _pic_step_kernel(q_ref, qm_ref, pos_ref, vel_ref, alive_ref, e_ref,
+                     tiles_ref, pos_out_ref, vel_out_ref, ke_ref, nout_ref,
+                     *, P, M, T, C, mxu_dtype, G):
+    s = pl.program_id(1)
+    q = q_ref[0, 0]
+    qm = qm_ref[0, 0]
+    lo, hi = -float(M), float(T + M)
+
+    def tile_body(g, acc):
+        vdot_acc, bad_acc = acc
+        gsl = pl.ds(g, 1)
+        alive = alive_ref[0, gsl, :]                     # (1, B)
+        x = pos_ref[0, 0, gsl, :]
+        y = pos_ref[0, 1, gsl, :]
+        z = pos_ref[0, 2, gsl, :]
+        # gather E at the pre-drift positions (leapfrog kick with E_n(x_n))
+        E_all = e_ref[g, :, :, :].reshape(C * P, P * P).astype(mxu_dtype)
+        wx = _weights_t(x, P, M)
+        wyz = _kron_iota(y, z, P, M, mxu_dtype)
+        G_all = jax.lax.dot_general(
+            E_all, wyz, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (C*P, B)
+        vdot = jnp.zeros_like(alive)
+        news = []
+        for c, pc in enumerate((x, y, z)):
+            Gc = G_all[c * P:(c + 1) * P, :]
+            Ec = jnp.sum(wx * Gc, axis=0, keepdims=True)  # (1, B)
+            dv = (qm * Ec) * alive
+            v = vel_ref[0, c, gsl, :]
+            vn = v + dv
+            vdot = vdot + v * vn
+            vel_out_ref[0, c, gsl, :] = vn
+            pn = pc + vn                                  # drift with v_{n+1/2}
+            pos_out_ref[0, c, gsl, :] = pn
+            news.append(pn)
+        nx, ny, nz = news
+        out = ((nx < lo) | (nx >= hi) | (ny < lo) | (ny >= hi)
+               | (nz < lo) | (nz >= hi))
+        # deposit at the post-drift positions
+        wxn = (_weights_t(nx, P, M) * (alive * q)).astype(mxu_dtype)
+        wyzn = _kron_iota(ny, nz, P, M, mxu_dtype)
+        dep = jax.lax.dot_general(
+            wxn, wyzn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(s == 0)
+        def _():
+            tiles_ref[gsl, :, :] = dep[None]
+
+        @pl.when(s != 0)
+        def _():
+            tiles_ref[gsl, :, :] += dep[None]
+
+        return (vdot_acc + jnp.sum(vdot * alive),
+                bad_acc + jnp.sum(jnp.where(out, alive, 0.0)))
+
+    vdot, bad = jax.lax.fori_loop(
+        0, G, tile_body, (jnp.float32(0), jnp.float32(0)))
+    ke_ref[...] = jnp.zeros_like(ke_ref) + vdot
+    nout_ref[...] = jnp.zeros_like(nout_ref) + bad
+
+
+def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
+             alive: jax.Array, charge, qm_dt, ts: TileSpec,
+             interpret: bool = False, mxu_dtype=jnp.float32,
+             tiles_per_step: int = 8):
+    """One full leapfrog step for ALL species in a single Pallas kernel:
+    gather E(x_n) -> kick v -> drift x -> CIC-deposit rho_{n+1}.
+
+    The species loop rides the second grid dimension (s innermost), so the
+    per-tile density block stays resident in VMEM and accumulates across
+    species, and the E tiles are fetched once per tile block rather than
+    once per species.  Versus the deposit_move/gather_kick pair this
+    halves the particle-state HBM traffic (x, v stream once per step) and
+    removes the (S, 3, NT, B) stack copies entirely.
+
+    field_pad (NT, P, P, P, C); lpos, vel (S, 3, NT, B); alive (S, NT, B)
+    f32 0/1; charge (S,) deposit weights; qm_dt (S,) kick factors
+    (q/m * dt).  Returns (tiles (NT, P, P*P) summed over species,
+    new_lpos, new_vel, vdot (S,) = sum alive*v.(v+dv) per species,
+    n_out (S,) live particles beyond the wander margin after the drift).
+
+    Reference parity: one iteration of the src/main.c:197-274 time loop's
+    particle work — acc (pusher.c:147-214), puMove (pusher.c:86-119) and
+    puDistr3D1 (pusher.c:512-572) — with the reference's separate grid
+    sweeps fused into one VMEM-resident pass.
+    """
+    assert ts.n_dims == 3
+    S, D, NT, B = lpos.shape
+    P = ts.P
+    C = field_pad.shape[-1]
+    G = _tiles_per_step(NT, tiles_per_step)
+    NI = NT // G
+
+    E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
+    q_arr = jnp.asarray(charge, jnp.float32).reshape(S, 1)
+    qm_arr = jnp.asarray(qm_dt, jnp.float32).reshape(S, 1)
+    smem = pl.BlockSpec((1, 1), lambda i, s: (s, 0),
+                        memory_space=pltpu.SMEM)
+    svec = pl.BlockSpec((1, 3, G, B), lambda i, s: (s, 0, i, 0),
+                        memory_space=pltpu.VMEM)
+    srow = pl.BlockSpec((1, G, B), lambda i, s: (s, i, 0),
+                        memory_space=pltpu.VMEM)
+    sacc = pl.BlockSpec((1, 1, 128), lambda i, s: (s, i, 0),
+                        memory_space=pltpu.VMEM)
+
+    tiles, pos_o, vel_o, ke, nout = pl.pallas_call(
+        partial(_pic_step_kernel, P=P, M=ts.M, T=ts.T, C=C,
+                mxu_dtype=mxu_dtype, G=G),
+        out_shape=(jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
+                   jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
+                   jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
+                   jax.ShapeDtypeStruct((S, NI, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((S, NI, 128), jnp.float32)),
+        grid=(NI, S),
+        in_specs=[smem, smem, svec, svec, srow,
+                  pl.BlockSpec((G, C, P, P * P), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((G, P, P * P), lambda i, s: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   svec, svec, sacc, sacc),
+        interpret=interpret,
+    )(q_arr, qm_arr, lpos, vel, alive, E)
+    return (tiles, pos_o, vel_o,
+            jnp.sum(ke[:, :, 0], axis=1), jnp.sum(nout[:, :, 0], axis=1))
+
+
+# ---------------------------------------------------------------------------
 # Fused gather + kick (+ kinetic energy)
 # ---------------------------------------------------------------------------
 

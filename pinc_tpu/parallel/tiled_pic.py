@@ -203,14 +203,14 @@ class ShardedTiledSimulation(TiledSimulation):
             planes = tuple(lpos[s, d].reshape(NTl, B) for d in range(D)) \
                 + tuple(vel[s, d].reshape(NTl, B) for d in range(D))
             planes, al, d_n = pex.rebucket_exchange_planes(
-                planes, alive[s].reshape(NTl, B).astype(jnp.float32),
+                planes, alive[s].reshape(NTl, B),
                 lnt, ln.T, K=self._exchange_cap, interpret=interp,
                 roll_fns=buf_rolls)
             lpos = lpos.at[s].set(
                 jnp.stack(planes[:D]).reshape(lpos[s].shape))
             vel = vel.at[s].set(
                 jnp.stack(planes[D:]).reshape(vel[s].shape))
-            alive = alive.at[s].set((al > 0.5).reshape(alive[s].shape))
+            alive = alive.at[s].set(al.reshape(alive[s].shape))
             dropped = dropped + d_n
         for ax in self.ctx.axes:
             dropped = lax.psum(dropped, ax)

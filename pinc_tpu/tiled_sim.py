@@ -44,7 +44,8 @@ class TiledState:
     production size)."""
     lpos: jax.Array    # (S, D, NT, B) tile-local positions
     vel: jax.Array     # (S, D, NT, B)
-    alive: jax.Array   # (S, NT, B)
+    alive: jax.Array   # (S, NT, B) f32 0/1 (kernel-ready; compare >0.5
+                       # where a boolean mask is needed)
 
 
 class TiledSimulation(Simulation):
@@ -166,7 +167,7 @@ class TiledSimulation(Simulation):
             lp, lv, la, dropped = tl.bucket(pos, p.vel[s], p.alive[s], self.ts)
             lposs.append(jnp.moveaxis(lp, -1, 0))
             vels.append(jnp.moveaxis(lv, -1, 0))
-            alives.append(la)
+            alives.append(la.astype(jnp.float32))
         return TiledState(lpos=jnp.stack(lposs), vel=jnp.stack(vels),
                           alive=jnp.stack(alives))
 
@@ -181,7 +182,7 @@ class TiledSimulation(Simulation):
             planes = tuple(lpos_s[d] for d in range(D)) + tuple(
                 vel_s[d] for d in range(D))
             planes, al, d_n = pex.rebucket_exchange_planes(
-                planes, alive_s.astype(jnp.float32),
+                planes, alive_s,
                 self.ts.ntiles, self.ts.T, K=self._exchange_cap,
                 interpret=jax.devices()[0].platform == "cpu")
             return (jnp.stack(planes[:D]), jnp.stack(planes[D:]),
@@ -189,7 +190,9 @@ class TiledSimulation(Simulation):
         gpos = tl.global_positions(
             jnp.moveaxis(lpos_s, 0, -1), self.ts).reshape(-1, D)
         vel = vel_s.reshape(D, -1).T
-        lp, lv, la, d_n = tl.bucket(gpos, vel, alive_s.reshape(-1), self.ts)
+        lp, lv, la, d_n = tl.bucket(gpos, vel,
+                                    alive_s.reshape(-1) > 0.5, self.ts)
+        la = la.astype(jnp.float32)
         return (jnp.moveaxis(lp, -1, 0), jnp.moveaxis(lv, -1, 0), la,
                 d_n.astype(jnp.int32))
 
@@ -227,7 +230,7 @@ class TiledSimulation(Simulation):
         cell = jnp.mod(cell, L)
         vel = jnp.moveaxis(st.vel, 1, -1).reshape(S, N, self.ts.n_dims)
         return Particles(cell=cell, frac=frac, vel=vel,
-                         alive=st.alive.reshape(S, N))
+                         alive=st.alive.reshape(S, N) > 0.5)
 
     # --------------------------------------------------------------- step
     def _absorb(self, st: TiledState):
@@ -244,18 +247,19 @@ class TiledSimulation(Simulation):
         alive = st.alive
         for s in range(st.lpos.shape[0]):
             lp = st.lpos[s][:, idx, :]                    # (D, NTo, B)
-            al = alive[s][idx]                            # (NTo, B)
+            al = alive[s][idx]                            # (NTo, B) f32
             g = jnp.mod(lp + origins.T[:, :, None], Lf[:, None, None])
             cell = jnp.clip(jnp.floor(g).astype(jnp.int32), 0,
                             Li[:, None, None] - 1)
             oid = obj.interior_id[cell[0], cell[1], cell[2]]
-            absorbed = al & (oid > 0)
+            absorbed = (al > 0.5) & (oid > 0)
             q = float(np.asarray(self.params.charge)[s])
             counter = counter + jax.ops.segment_sum(
                 jnp.where(absorbed, q, 0.0).ravel(),
                 jnp.where(absorbed, oid, 0).ravel(),
                 num_segments=obj.n_objects + 1)
-            alive = alive.at[s, idx].set(al & ~absorbed)
+            alive = alive.at[s, idx].set(
+                jnp.where(absorbed, 0.0, al))
         return TiledState(lpos=st.lpos, vel=st.vel, alive=alive), counter
 
     def _spread_obj_charge(self, rho_obj, counter):
@@ -306,12 +310,14 @@ class TiledSimulation(Simulation):
             # sum the padded tile blocks across species and fold ONCE —
             # the fold is an HBM pass over the whole tile set
             from .ops import pallas_tiled as ptl
+            interp = jax.devices()[0].platform == "cpu"
             tiles = None
             for s in range(st.lpos.shape[0]):
                 q = float(np.asarray(self.params.charge)[s])
                 value = jnp.where(st.alive[s],
                                   jnp.asarray(q, jnp.float32), 0.0)
                 t = ptl.deposit(st.lpos[s], value, self.ts,
+                                interpret=interp,
                                 mxu_dtype=self._mxu_dtype)
                 tiles = t if tiles is None else tiles + t
             rho = tl.fold_to_global(
@@ -347,9 +353,11 @@ class TiledSimulation(Simulation):
         # sides
         if self._backend == "pallas":
             from .ops import pallas_tiled as ptl
+            interp = jax.devices()[0].platform == "cpu"
             P = self.ts.P
             ep5 = E_pad.reshape((self.ts.NT,) + (P,) * 3 + (E.shape[-1],))
             gather = lambda xyz: ptl.gather(ep5, xyz, self.ts,
+                                            interpret=interp,
                                             mxu_dtype=self._mxu_dtype)
         elif self._gather_mode == "mxu":
             gather = lambda xyz: jnp.moveaxis(tl.gather_tiled_mxu(
@@ -371,7 +379,8 @@ class TiledSimulation(Simulation):
 
     def _out_of_margin(self, st: TiledState) -> jax.Array:
         lo, hi = -float(self.ts.M), float(self.ts.T + self.ts.M)
-        bad = jnp.any((st.lpos < lo) | (st.lpos >= hi), axis=1) & st.alive
+        bad = (jnp.any((st.lpos < lo) | (st.lpos >= hi), axis=1)
+               & (st.alive > 0.5))
         return jnp.sum(bad).astype(jnp.int32)
 
     def _tiled_half_kick(self, st: TiledState):
@@ -430,6 +439,14 @@ class TiledSimulation(Simulation):
         return (self._backend == "pallas" and self.spec.periodic
                 and self.objects is None)
 
+    @property
+    def _use_mega(self) -> bool:
+        """Mega-fused scan body (ops.pallas_tiled.pic_step): all species'
+        kick+drift+deposit in ONE kernel per step.  Scan path only — the
+        kick uses the previous step's field (x-lagging leapfrog), so the
+        per-step run() keeps the reference's in-step kick ordering."""
+        return self._use_fused and self.cfg.get_bool("tiles:mega", True)
+
     def _tiled_step_fused(self, st: TiledState):
         """One step with the fused kernels: drift, margin count, masking,
         deposition in one pass per species; gather, kick and the KE sum in
@@ -442,7 +459,7 @@ class TiledSimulation(Simulation):
         charge = np.asarray(self.params.charge)
         mass = np.asarray(self.params.mass)
         qm = charge / mass
-        alive_f = [st.alive[s].astype(jnp.float32) for s in range(S)]
+        alive_f = [st.alive[s] for s in range(S)]
         tiles = None
         new_lpos = []
         n_out = jnp.zeros((), jnp.float32)
@@ -557,6 +574,8 @@ class TiledSimulation(Simulation):
             events = {k: list(range(self.particles.n_species))
                       for k in range(self.rebucket_every, n + 1,
                                      self.rebucket_every)}
+        if self._use_mega and type(self) is TiledSimulation:
+            return self._make_scan_steps_mega(n, events)
 
         def body(st, _):
             st, rho, phi, E, diag = self._step_for_scan(st)
@@ -581,4 +600,63 @@ class TiledSimulation(Simulation):
             ke = jnp.concatenate([o[0] for o in outs])
             pe = jnp.concatenate([o[1] for o in outs])
             return st, (ke, pe, dropped)
+        return run_n
+
+    def _make_scan_steps_mega(self, n: int, events):
+        """Scan driver over the mega-fused step kernel: kick v with the
+        PREVIOUS step's field, drift, deposit — one pic_step kernel + one
+        field solve per step; the padded field tiles ride the scan carry.
+        Both orderings are the same leapfrog trajectory; here the (ke, pe)
+        pair emitted at scan slot k is centered on step k-1, with the
+        window-start solve supplying the first pe."""
+        from .ops import pallas_tiled as ptl
+        interp = jax.devices()[0].platform == "cpu"
+        charge = tuple(float(c) for c in np.asarray(self.params.charge))
+        qm = tuple(float(c / m) for c, m in
+                   zip(charge, np.asarray(self.params.mass)))
+        mass_j = jnp.asarray(np.asarray(self.params.mass), jnp.float32)
+        ts = self.ts
+
+        def pad5(E):
+            return tl.pad_tiles(E, ts).reshape(
+                (ts.NT,) + (ts.P,) * 3 + (E.shape[-1],))
+
+        def body(carry, _):
+            st, ep5, pe_prev = carry
+            tiles, lpos, vel, vdot, _ = ptl.pic_step(
+                ep5, st.lpos, st.vel, st.alive, charge, qm, ts,
+                interpret=interp, mxu_dtype=self._mxu_dtype)
+            rho = tl.fold_to_global(
+                tiles.reshape((ts.NT,) + (ts.P,) * 3),
+                ts).astype(self.spec.dtype)
+            phi = self.solver(rho)
+            E = -gradient(phi)
+            ke = 0.5 * mass_j * vdot
+            pe = potential_energy(rho, phi)
+            st2 = TiledState(lpos=lpos, vel=vel, alive=st.alive)
+            return (st2, pad5(E), pe), (ke, pe_prev)
+
+        @jax.jit
+        def run_n(st, rho_obj=None):
+            rho0, phi0, E0 = self._fields(st)
+            carry = (st, pad5(E0), potential_energy(rho0, phi0))
+            outs = []
+            prev = 0
+            dropped = jnp.zeros((), jnp.int32)
+            for k in sorted(set(events) | {n}):
+                if k > n:
+                    break
+                if k > prev:
+                    carry, out = jax.lax.scan(body, carry, None,
+                                              length=k - prev)
+                    outs.append(out)
+                    prev = k
+                for s in events.get(k, []):
+                    st2, d = self._rebucket(carry[0], species=(s,))
+                    carry = (st2, carry[1], carry[2])
+                    dropped = dropped + d
+            ke = jnp.concatenate([o[0] for o in outs])
+            pe = jnp.concatenate([o[1] for o in outs])
+            return carry[0], (ke, pe, dropped)
+
         return run_n

@@ -83,3 +83,45 @@ def test_fused_gather_kick(setup):
                                rtol=1e-5, atol=1e-6)
     vdot_ref = float(jnp.sum(jnp.sum(vel * (vel + dv), axis=0) * alive_f))
     assert abs(float(vdot) - vdot_ref) < 1e-2 * max(1.0, abs(vdot_ref))
+
+
+def test_pic_step_matches_kernel_pair(setup):
+    """Mega-fused step == gather_kick then drift then deposit, summed over
+    species, with per-species ke/n_out."""
+    ts, lp, la, rng = setup
+    NT, B = ts.NT, ts.B
+    xyz = jnp.moveaxis(lp, -1, 0)
+    vel = jnp.asarray(rng.normal(size=(3, NT, B)).astype(np.float32)) * 0.1
+    laf = la.astype(jnp.float32)
+    E = jnp.asarray(rng.normal(size=(16, 16, 16, 3)).astype(np.float32))
+    ep5 = pad_tiles(E, ts).reshape(ts.NT, ts.P, ts.P, ts.P, 3)
+
+    S = 2
+    lpos_s = jnp.stack([xyz, xyz + 0.01])
+    vel_s = jnp.stack([vel, -vel])
+    alive_s = jnp.stack([laf, laf])
+    charge = (-1.0, 1.5)
+    qm = (-0.5, 0.25)
+
+    tiles, lpo, velo, vdot, nout = pt.pic_step(
+        ep5, lpos_s, vel_s, alive_s, charge, qm, ts, interpret=True)
+
+    tiles_ref = None
+    for s in range(S):
+        nv, vd = pt.gather_kick(ep5, lpos_s[s], vel_s[s], alive_s[s],
+                                qm[s], ts, interpret=True)
+        np.testing.assert_allclose(np.asarray(velo[s]), np.asarray(nv),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(float(vdot[s]), float(vd), rtol=1e-5)
+        npos = lpos_s[s] + nv
+        np.testing.assert_allclose(np.asarray(lpo[s]), np.asarray(npos),
+                                   rtol=1e-6, atol=1e-6)
+        val = alive_s[s] * charge[s]
+        t = pt.deposit(npos, val, ts, interpret=True)
+        tiles_ref = t if tiles_ref is None else tiles_ref + t
+        lo, hi = -float(ts.M), float(ts.T + ts.M)
+        bad = ((npos < lo) | (npos >= hi)).any(axis=0)
+        n_ref = float(jnp.sum(jnp.where(bad, alive_s[s], 0.0)))
+        assert abs(float(nout[s]) - n_ref) < 0.5
+    np.testing.assert_allclose(np.asarray(tiles), np.asarray(tiles_ref),
+                               rtol=1e-5, atol=1e-5)

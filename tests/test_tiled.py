@@ -178,3 +178,26 @@ def test_fused_step_matches_unfused():
     np.testing.assert_allclose(np.asarray(d_f.kin_energy),
                                np.asarray(d_u.kin_energy), rtol=1e-5)
     assert int(d_f.n_lost) == int(d_u.n_lost)
+
+
+def test_mega_scan_runs_and_conserves():
+    """The mega-fused scan driver (pic_step body, interpret mode on CPU)
+    runs, conserves the particle count, and produces energies on the same
+    scale as the kernel-pair scan (the kick ordering differs by the
+    leapfrog half-step convention, so trajectories are not elementwise
+    comparable)."""
+    deck = DECK + "backend = pallas\nmxuDtype = f32\n"
+    sim = TiledSimulation(PincConfig.from_string(deck), seed=3)
+    assert sim._use_mega
+    run_n = sim.make_scan_steps(4)
+    st, (ke, pe, dropped) = run_n(sim.state)
+    assert int(dropped) == 0
+    assert int(np.asarray(st.alive).sum()) == 2 * 8 * 16 ** 3
+    ke = np.asarray(ke)
+    assert ke.shape == (4, 2) and np.isfinite(ke).all()
+
+    sim_u = TiledSimulation(PincConfig.from_string(
+        DECK + "backend = pallas\nmxuDtype = f32\nmega = false\n"), seed=3)
+    assert not sim_u._use_mega and sim_u._use_fused
+    _, (ke_u, pe_u, _) = sim_u.make_scan_steps(4)(sim_u.state)
+    np.testing.assert_allclose(ke[0], np.asarray(ke_u)[0], rtol=0.2)

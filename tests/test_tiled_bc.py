@@ -69,7 +69,7 @@ def test_tiled_bounded_matches_flat(bounds):
     assert np.allclose(pf[:4], pt[:4], rtol=2e-2, atol=1e-5)
     # particles never escaped the walls
     lp = np.asarray(tiled.state.lpos)
-    la = np.asarray(tiled.state.alive)
+    la = np.asarray(tiled.state.alive) > 0.5
     from pinc_tpu.ops.tiled import tile_origins
     org = np.asarray(tile_origins(tiled.ts))            # (NT, D)
     for d in range(3):

@@ -96,7 +96,7 @@ def test_sharded_rebucket_conserves_across_devices(pair):
     assert int(dropped) == 0
     assert int(np.asarray(st3.alive).sum()) == n_before
     lp = np.asarray(st3.lpos)
-    la = np.asarray(st3.alive)
+    la = np.asarray(st3.alive) > 0.5
     for s in range(lp.shape[0]):
         for d in range(3):
             vals = lp[s, d][la[s]]
