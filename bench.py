@@ -68,7 +68,7 @@ slack = 1.125
     if layout == "tiled":
         sim = TiledSimulation(cfg, seed=1)
         carry = sim.state
-        n_particles = int(np.asarray(sim.state.alive).sum())
+        n_particles = int(jax.device_get(sim.state.alive.sum()))
         leaf = lambda c: c.lpos
     else:
         sim = Simulation(cfg, seed=1)

@@ -160,13 +160,15 @@ def _merge_kernel(act_ref, frank_ref, alive_ref, inc_ref, *plane_refs_out,
     # arrivals fill the lowest free-slot ranks, so most chunks receive
     # none: skip their placement matmul entirely (the passthrough write
     # is the HBM floor; measured 26 -> 11 ms per merge pass at 4096x9216)
-    @pl.when(act_ref[0, 0] == 0)
+    j = pl.program_id(1)
+
+    @pl.when(act_ref[0, 0, j] == 0)
     def _():
         for c in range(n_pl):
             out_refs[c][0, 0, :] = plane_refs[c][0, 0, :]
         alive_out_ref[0, 0, :] = alive_ref[0, 0, :]
 
-    @pl.when(act_ref[0, 0] != 0)
+    @pl.when(act_ref[0, 0, j] != 0)
     def _():
         inc = inc_ref[0, :, :]                          # (8, 2K)
         K2 = 2 * K
@@ -216,14 +218,15 @@ def merge(frank: jax.Array, alive: jax.Array, inc: jax.Array,
         out_shape=tuple(jax.ShapeDtypeStruct((NT, 1, B), jnp.float32)
                         for _ in range(n_pl + 1)),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, 1), lambda i, j: (i, j),
+        in_specs=[pl.BlockSpec((1, 1, NC), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.SMEM),
                   row, row,
                   pl.BlockSpec((1, 8, K2), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)] + [row] * n_pl,
         out_specs=tuple([row] * (n_pl + 1)),
         interpret=interpret,
-    )(active, frank.reshape(NT, 1, B), alive.reshape(NT, 1, B), inc,
+    )(active.reshape(NT, 1, NC), frank.reshape(NT, 1, B),
+      alive.reshape(NT, 1, B), inc,
       *[p.reshape(NT, 1, B) for p in planes])
     new_planes = tuple(o.reshape(NT, B) for o in outs[:n_pl])
     return new_planes, outs[n_pl].reshape(NT, B)

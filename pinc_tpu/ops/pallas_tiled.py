@@ -280,8 +280,8 @@ def _pic_step_kernel(q_ref, qm_ref, pos_ref, vel_ref, alive_ref, e_ref,
                      tiles_ref, pos_out_ref, vel_out_ref, ke_ref, nout_ref,
                      *, P, M, T, C, mxu_dtype, G):
     s = pl.program_id(1)
-    q = q_ref[0, 0]
-    qm = qm_ref[0, 0]
+    q = q_ref[0, s]
+    qm = qm_ref[0, s]
     lo, hi = -float(M), float(T + M)
 
     def tile_body(g, acc):
@@ -371,15 +371,15 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
     NI = NT // G
 
     E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
-    q_arr = jnp.asarray(charge, jnp.float32).reshape(S, 1)
-    qm_arr = jnp.asarray(qm_dt, jnp.float32).reshape(S, 1)
-    smem = pl.BlockSpec((1, 1), lambda i, s: (s, 0),
+    q_arr = jnp.asarray(charge, jnp.float32).reshape(1, S)
+    qm_arr = jnp.asarray(qm_dt, jnp.float32).reshape(1, S)
+    smem = pl.BlockSpec((1, S), lambda i, s: (0, 0),
                         memory_space=pltpu.SMEM)
     svec = pl.BlockSpec((1, 3, G, B), lambda i, s: (s, 0, i, 0),
                         memory_space=pltpu.VMEM)
     srow = pl.BlockSpec((1, G, B), lambda i, s: (s, i, 0),
                         memory_space=pltpu.VMEM)
-    sacc = pl.BlockSpec((1, 1, 128), lambda i, s: (s, i, 0),
+    sacc = pl.BlockSpec((1, 1, 1, 128), lambda i, s: (s, i, 0, 0),
                         memory_space=pltpu.VMEM)
 
     tiles, pos_o, vel_o, ke, nout = pl.pallas_call(
@@ -388,8 +388,8 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
         out_shape=(jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
                    jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
-                   jax.ShapeDtypeStruct((S, NI, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((S, NI, 128), jnp.float32)),
+                   jax.ShapeDtypeStruct((S, NI, 1, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((S, NI, 1, 128), jnp.float32)),
         grid=(NI, S),
         in_specs=[smem, smem, svec, svec, srow,
                   pl.BlockSpec((G, C, P, P * P), lambda i, s: (i, 0, 0, 0),
@@ -400,7 +400,8 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
         interpret=interpret,
     )(q_arr, qm_arr, lpos, vel, alive, E)
     return (tiles, pos_o, vel_o,
-            jnp.sum(ke[:, :, 0], axis=1), jnp.sum(nout[:, :, 0], axis=1))
+            jnp.sum(ke[:, :, 0, 0], axis=1),
+            jnp.sum(nout[:, :, 0, 0], axis=1))
 
 
 # ---------------------------------------------------------------------------

@@ -65,8 +65,14 @@ class TiledSimulation(Simulation):
         # out-of-margin counter triggers early re-buckets when beaten.
         # One host pass computes the per-species velocity scales used for
         # both the margin default and the per-species re-bucket cadences.
-        vel_np = np.abs(np.asarray(self.particles.vel))
-        alive_np = np.asarray(self.particles.alive)
+        # strided device-side sample (~500k slots) instead of pulling the
+        # full (S, N, D) velocity array to the host — at production sizes
+        # that transfer is ~1 GB through the device tunnel and dominated
+        # setup time; the 99.9th percentile of a 500k sample is stable
+        N_cap = self.particles.vel.shape[1]
+        stride = max(1, N_cap // 500_000)
+        vel_np = np.abs(np.asarray(self.particles.vel[:, ::stride]))
+        alive_np = np.asarray(self.particles.alive[:, ::stride])
         vmax_s = []
         for s in range(self.particles.n_species):
             vs = vel_np[s][alive_np[s]]
