@@ -61,7 +61,7 @@ migrate = puExtractEmigrantsND
 [tiles]
 tileSize = 8
 mxuDtype = bf16
-slack = 1.125
+slack = 1.0625
 """
     cfg = PincConfig.from_string(deck)
     t0 = time.monotonic()

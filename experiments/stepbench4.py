@@ -122,3 +122,27 @@ for name, body in [("pic_step only", kernel_only),
     ms = dt / R * 1e3
     print(f"{name:22s} {ms:7.2f} ms/step  (+{ms-prev:5.2f})", flush=True)
     prev = ms
+
+
+def full_cmajor(carry):
+    st, ep5 = carry
+    tiles, lpos, vel, vdot, _ = ptl.pic_step(
+        ep5, st.lpos, st.vel, st.alive, charge, qm, ts, mxu_dtype=mxu)
+    rho = tl.fold_to_global(
+        tiles.reshape((ts.NT,) + (ts.P,) * 3), ts)
+    phi = sim.solver(rho)
+    E = -gradient(phi)
+    pe = potential_energy(rho, phi)
+    ep5b = tl.pad_tiles_cmajor(E, ts) + 0.0 * pe
+    return TiledState(lpos=lpos, vel=vel, alive=st.alive), ep5b
+
+
+for name, body in [("full cmajor pad A", full_cmajor),
+                   ("full (5D pad) again", full_pe),
+                   ("full cmajor pad B", full_cmajor)]:
+    dt, (st, ep5x) = timeit(scan_of(body), st,
+                            ep5 if body is full_pe else
+                            tl.pad_tiles_cmajor(jnp.zeros(ts.grid + (3,),
+                                                          jnp.float32), ts))
+    ms = dt / R * 1e3
+    print(f"{name:22s} {ms:7.2f} ms/step", flush=True)

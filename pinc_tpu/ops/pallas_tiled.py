@@ -366,11 +366,16 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
     assert ts.n_dims == 3
     S, D, NT, B = lpos.shape
     P = ts.P
-    C = field_pad.shape[-1]
     G = _tiles_per_step(NT, tiles_per_step)
     NI = NT // G
 
-    E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
+    if field_pad.ndim == 4:
+        # already component-major (NT, C, P, P*P) — ops.tiled.pad_tiles_cmajor
+        E = field_pad
+        C = field_pad.shape[1]
+    else:
+        C = field_pad.shape[-1]
+        E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
     q_arr = jnp.asarray(charge, jnp.float32).reshape(1, S)
     qm_arr = jnp.asarray(qm_dt, jnp.float32).reshape(1, S)
     smem = pl.BlockSpec((1, S), lambda i, s: (0, 0),

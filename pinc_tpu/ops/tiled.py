@@ -239,6 +239,40 @@ def deposit_tiled(lpos: jax.Array, alive: jax.Array, charge,
 # Gather: padded tile blocks + per-particle XLA gather (exact local weights)
 # ---------------------------------------------------------------------------
 
+def pad_tiles_cmajor(field: jax.Array, ts: TileSpec,
+                     roll_fns=None) -> jax.Array:
+    """Global (grid..., C) -> component-major padded tiles
+    (NT, C, P, P**(D-1) * ...), i.e. the exact (NT, C, P, P*P) layout the
+    Pallas gather/step kernels consume — the C axis is placed during the
+    initial tile transpose, so no separate 65 MB moveaxis pass is paid
+    per step."""
+    D = ts.n_dims
+    nt = ts.ntiles
+    C = field.shape[-1]
+    shape = []
+    for d in range(D):
+        shape += [nt[d], ts.T]
+    x = field.reshape(shape + [C])
+    # (n0, T0, n1, T1, .., C) -> (n0, n1, .., C, T0, T1, ..)
+    perm = [2 * d for d in range(D)] + [2 * D] + \
+        [2 * d + 1 for d in range(D)]
+    x = jnp.transpose(x, perm)
+    for d in range(D):
+        roll = ((roll_fns[d] if roll_fns else None)
+                or (lambda a, s, ax: jnp.roll(a, s, axis=ax)))
+        node_ax = D + 1 + d
+        lo = jax.lax.slice_in_dim(x, x.shape[node_ax] - ts.M,
+                                  x.shape[node_ax], axis=node_ax)
+        lo = roll(lo, 1, d)
+        hi = jax.lax.slice_in_dim(x, 0, ts.M + 1, axis=node_ax)
+        hi = roll(hi, -1, d)
+        x = jnp.concatenate([lo, x, hi], axis=node_ax)
+    tail = 1
+    for _ in range(D - 1):
+        tail *= ts.P
+    return x.reshape(ts.NT, C, ts.P, tail)
+
+
 def pad_tiles(field: jax.Array, ts: TileSpec, roll_fns=None) -> jax.Array:
     """Global (grid..., C) or (grid...) -> (NT, P.., [C]) padded blocks
     (periodic).  Sequential per-dim so corners are correct.

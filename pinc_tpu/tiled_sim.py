@@ -83,13 +83,13 @@ class TiledSimulation(Simulation):
         # kernel MXU+VPU cycles scale with the SLOT count NT*B, not the
         # live count, so head-room is paid for every step: 1.25 default,
         # with overflow counted and rebucketing cheap enough to trigger
-        # early; B rounds to 1024 (=8 rows x 128 lanes) at production
-        # sizes so the per-row lane count stays a 128-multiple
+        # early; B rounds to a 128-multiple (the Mosaic lane quantum) —
+        # at ppt=8192, Poisson occupancy sigma is ~90, so even 1.0625
+        # slack (+512) leaves >5 sigma of bucket head room
         slack = cfg.get_double("tiles:slack", 1.25)
         # per-species particles per tile
         ppt = self.particles.capacity * (T ** nd) / self.spec.global_volume
-        quantum = 1024 if ppt * slack >= 2048 else 128
-        B = int(math.ceil(ppt * slack / quantum)) * quantum
+        B = int(math.ceil(ppt * slack / 128.0)) * 128
         self.ts = tl.TileSpec(grid=self.spec.global_size, T=T, M=M, B=B,
                               chunk=cfg.get_int("tiles:chunk", 32))
         self.ts.validate()
@@ -120,13 +120,16 @@ class TiledSimulation(Simulation):
         # have interpret-mode fallbacks on CPU); sort is the generic path
         self._rebucket_mode = cfg.get_str(
             "tiles:rebucket", "exchange" if nd == 3 else "sort").lower()
-        # per-face transfer capacity: leavers over one cadence drift at
-        # most ~M cells (R*vmax ~= M), so ~ppt*M/T reach a face and half
-        # go through it; kernel cost is linear in K, overflow is counted
-        # and dropped loudly, and the out-of-margin early trigger bounds
-        # the drift, so a 2x-mean headroom suffices
+        # per-face transfer capacity: mean leavers per face over one
+        # cadence is ppt * E[drift+]/T ~= ppt*M/(2.5*T*sqrt(2pi)) (drift
+        # sigma ~= M at the 5-sigma cadence), i.e. ~1% of ppt at M=1 —
+        # ppt*M/(8T) is ~1.5x that mean with +5 Poisson sigmas of head
+        # room.  Extract kernel cost is one MXU N-tile pass per 128 lanes
+        # of 2K, so K=128 halves the extract time vs the old 256 default;
+        # overflow is counted and dropped loudly and the out-of-margin
+        # early trigger bounds the drift
         ppt_est = ppt if ppt > 0 else 128
-        cap = int(math.ceil(ppt_est * max(M, 1) / (4.0 * T) / 128.0)) * 128
+        cap = int(math.ceil(ppt_est * max(M, 1) / (8.0 * T) / 128.0)) * 128
         cap = max(128, min(cap, (self.ts.B // 8) * 8))
         self._exchange_cap = cfg.get_int("tiles:exchangecap", cap)
 
@@ -624,8 +627,7 @@ class TiledSimulation(Simulation):
         ts = self.ts
 
         def pad5(E):
-            return tl.pad_tiles(E, ts).reshape(
-                (ts.NT,) + (ts.P,) * 3 + (E.shape[-1],))
+            return tl.pad_tiles_cmajor(E, ts)
 
         def body(carry, _):
             st, ep5, pe_prev = carry
@@ -640,12 +642,18 @@ class TiledSimulation(Simulation):
             ke = 0.5 * mass_j * vdot
             pe = potential_energy(rho, phi)
             st2 = TiledState(lpos=lpos, vel=vel, alive=st.alive)
-            return (st2, pad5(E), pe), (ke, pe_prev)
+            # the scalar add is NOT a no-op: feeding pad_tiles' transpose
+            # straight into the scan carry makes XLA pick a carry layout
+            # that relayouts the 65 MB field tiles every step (measured
+            # 72 -> 60 ms/step with the materializing add)
+            ep5n = pad5(E) + 0.0 * pe
+            return (st2, ep5n, pe), (ke, pe_prev)
 
         @jax.jit
         def run_n(st, rho_obj=None):
             rho0, phi0, E0 = self._fields(st)
-            carry = (st, pad5(E0), potential_energy(rho0, phi0))
+            pe0 = potential_energy(rho0, phi0)
+            carry = (st, pad5(E0) + 0.0 * pe0, pe0)
             outs = []
             prev = 0
             dropped = jnp.zeros((), jnp.int32)

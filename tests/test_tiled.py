@@ -201,3 +201,14 @@ def test_mega_scan_runs_and_conserves():
     assert not sim_u._use_mega and sim_u._use_fused
     _, (ke_u, pe_u, _) = sim_u.make_scan_steps(4)(sim_u.state)
     np.testing.assert_allclose(ke[0], np.asarray(ke_u)[0], rtol=0.2)
+
+
+def test_pad_tiles_cmajor_matches(ts):
+    rng = np.random.default_rng(5)
+    E = jnp.asarray(rng.normal(size=(16, 16, 16, 3)).astype(np.float32))
+    ref = jnp.moveaxis(
+        pad_tiles(E, ts).reshape(ts.NT, ts.P, ts.P, ts.P, 3),
+        -1, 1).reshape(ts.NT, 3, ts.P, ts.P * ts.P)
+    from pinc_tpu.ops.tiled import pad_tiles_cmajor
+    out = pad_tiles_cmajor(E, ts)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
