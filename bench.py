@@ -137,7 +137,7 @@ def main():
     on_tpu = dev.platform != "cpu"
     grid_n = 128 if on_tpu else 32
     ppc = 16 if on_tpu else 4
-    steps = 20 if on_tpu else 5
+    steps = 40 if on_tpu else 5
 
     solver_ms = bench_solver(grid_n=grid_n, reps=10 if on_tpu else 2)
     psteps = bench_pic(grid_n=grid_n, ppc=ppc, steps=steps)
