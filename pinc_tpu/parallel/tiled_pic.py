@@ -130,6 +130,7 @@ class ShardedTiledSimulation(TiledSimulation):
         roll_fns = self._roll_fns()
         # sum the padded tile blocks across species and fold ONCE — the
         # fold is an HBM pass plus 6 ppermute halo-plane transfers
+        interp = jax.devices()[0].platform == "cpu"
         tiles = None
         for s in range(st.lpos.shape[0]):
             q = float(np.asarray(self.params.charge)[s])
@@ -138,7 +139,7 @@ class ShardedTiledSimulation(TiledSimulation):
             value = jnp.where(alive, jnp.asarray(q, jnp.float32), 0.0)
             if self._backend == "pallas":
                 from ..ops import pallas_tiled as ptl
-                t = ptl.deposit(xyz, value, ln,
+                t = ptl.deposit(xyz, value, ln, interpret=interp,
                                 mxu_dtype=self._mxu_dtype)
                 t = t.reshape((NTl,) + (ln.P,) * D)
             else:
@@ -146,6 +147,36 @@ class ShardedTiledSimulation(TiledSimulation):
             tiles = t if tiles is None else tiles + t
         rho = tl.fold_to_global(tiles, ln, roll_fns=roll_fns)
         return rho.astype(self.spec.dtype)
+
+    def _local_move_fields(self, st):
+        """Per-device fused drift+deposit (ops.pallas_tiled.deposit_move):
+        the particle planes stream HBM->VMEM once for the move, margin
+        count, masking and deposition together — the same fusion as the
+        single-chip scan path, composed with the ppermute tile wraps."""
+        from ..ops import pallas_tiled as ptl
+        ln = self.ts_local
+        D = ln.n_dims
+        NTl, B = ln.NT, ln.B
+        interp = jax.devices()[0].platform == "cpu"
+        charge = np.asarray(self.params.charge)
+        tiles = None
+        lposs = []
+        n_out = jnp.zeros((), jnp.float32)
+        for s in range(st.lpos.shape[0]):
+            xyz = st.lpos[s].reshape(D, NTl, B)
+            vel = st.vel[s].reshape(D, NTl, B)
+            alive = st.alive[s].reshape(NTl, B).astype(jnp.float32)
+            t, nxyz, n_o = ptl.deposit_move(
+                xyz, vel, alive, float(charge[s]), ln,
+                interpret=interp, mxu_dtype=self._mxu_dtype)
+            tiles = t if tiles is None else tiles + t
+            lposs.append(nxyz.reshape(st.lpos[s].shape))
+            n_out = n_out + n_o
+        st2 = TiledState(lpos=jnp.stack(lposs), vel=st.vel, alive=st.alive)
+        rho = tl.fold_to_global(
+            tiles.reshape((NTl,) + (ln.P,) * D), ln,
+            roll_fns=self._roll_fns())
+        return st2, rho.astype(self.spec.dtype), n_out
 
     def _local_kick(self, st, E_local, half: bool):
         ln = self.ts_local
@@ -156,10 +187,33 @@ class ShardedTiledSimulation(TiledSimulation):
         if half:
             E_pad = 0.5 * E_pad
         qm = self.params.charge / self.params.mass
+        interp = jax.devices()[0].platform == "cpu"
+        if self._backend == "pallas" and not half:
+            # fused gather+kick+KE kernel (full-step kicks; the half kick
+            # at init keeps the explicit path for the 0.5*E scaling)
+            from ..ops import pallas_tiled as ptl
+            ep5 = E_pad.reshape((NTl,) + (ln.P,) * 3 + (E_local.shape[-1],))
+            qm = (np.asarray(self.params.charge)
+                  / np.asarray(self.params.mass))
+            vels, kes = [], []
+            for s in range(st.lpos.shape[0]):
+                xyz = st.lpos[s].reshape(D, NTl, B)
+                vel = st.vel[s].reshape(D, NTl, B)
+                alive = st.alive[s].reshape(NTl, B).astype(jnp.float32)
+                nv, vdot = ptl.gather_kick(
+                    ep5, xyz, vel, alive, float(qm[s]), ln,
+                    interpret=interp, mxu_dtype=self._mxu_dtype)
+                ke = 0.5 * float(np.asarray(self.params.mass)[s]) * vdot
+                for ax in self.ctx.axes:
+                    ke = lax.psum(ke, ax)
+                kes.append(ke)
+                vels.append(nv.reshape(st.vel[s].shape))
+            return (TiledState(lpos=st.lpos, vel=jnp.stack(vels),
+                               alive=st.alive), jnp.stack(kes))
         if self._backend == "pallas":
             from ..ops import pallas_tiled as ptl
             ep5 = E_pad.reshape((NTl,) + (ln.P,) * 3 + (E_local.shape[-1],))
-            gather = lambda xyz: ptl.gather(ep5, xyz, ln,
+            gather = lambda xyz: ptl.gather(ep5, xyz, ln, interpret=interp,
                                             mxu_dtype=self._mxu_dtype)
         else:
             gather = lambda xyz: jnp.moveaxis(tl.gather_tiled_mxu(
@@ -225,13 +279,17 @@ class ShardedTiledSimulation(TiledSimulation):
         fspec = ctx.field_spec()
 
         def dep(stl):
-            if do_move:
-                stl = TiledState(lpos=stl.lpos + stl.vel, vel=stl.vel,
-                                 alive=stl.alive)
-            n_out = self._out_of_margin(stl)
+            if do_move and self._backend == "pallas":
+                stl, rho, n_out = self._local_move_fields(stl)
+            else:
+                if do_move:
+                    stl = TiledState(lpos=stl.lpos + stl.vel, vel=stl.vel,
+                                     alive=stl.alive)
+                rho = self._local_fields(stl)
+                n_out = self._out_of_margin(stl)
             for ax in ctx.axes:
                 n_out = lax.psum(n_out, ax)
-            return stl, self._local_fields(stl), n_out
+            return stl, rho, n_out
 
         st, rho, n_out = _shard_map(
             dep, ctx.mesh, in_specs=(sspec,),

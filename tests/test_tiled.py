@@ -212,3 +212,26 @@ def test_pad_tiles_cmajor_matches(ts):
     from pinc_tpu.ops.tiled import pad_tiles_cmajor
     out = pad_tiles_cmajor(E, ts)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fold_overlap_add_m2():
+    """Concat-based fold matches a brute-force numpy overlap-add at M=2
+    (margins wider than one plane)."""
+    ts2 = TileSpec(grid=(8, 8, 8), T=4, M=2, B=32, chunk=8)
+    rng = np.random.default_rng(7)
+    tiles = rng.normal(size=(ts2.NT,) + (ts2.P,) * 3).astype(np.float32)
+    out = np.asarray(fold_to_global(jnp.asarray(tiles), ts2))
+    ref = np.zeros(ts2.grid, np.float32)
+    nt = ts2.ntiles
+    t5 = tiles.reshape(nt + (ts2.P,) * 3)
+    for i in range(nt[0]):
+        for j in range(nt[1]):
+            for k in range(nt[2]):
+                for a in range(ts2.P):
+                    ga = (i * ts2.T + a - ts2.M) % ts2.grid[0]
+                    for b in range(ts2.P):
+                        gb = (j * ts2.T + b - ts2.M) % ts2.grid[1]
+                        for c in range(ts2.P):
+                            gc = (k * ts2.T + c - ts2.M) % ts2.grid[2]
+                            ref[ga, gb, gc] += t5[i, j, k, a, b, c]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

@@ -112,3 +112,25 @@ def test_sharded_tiled_run_writes_energy(pair):
     assert np.all(np.isfinite(tot))
     # short warm run: total energy moves by < a few percent
     assert abs(tot[-1] - tot[0]) / abs(tot[0]) < 0.05
+
+
+def test_sharded_pallas_fused_matches_xla(cpu_devices):
+    """The fused deposit_move/gather_kick sharded step (pallas backend,
+    interpret mode on CPU) reproduces the XLA sharded step."""
+    deck = _deck((2, 2, 2), (8, 8, 8))
+    s_xla = ShardedTiledSimulation(
+        PincConfig.from_string(deck + "backend = xla\n"), seed=7,
+        devices=cpu_devices[:8])
+    s_pl = ShardedTiledSimulation(
+        PincConfig.from_string(deck + "backend = pallas\nmxuDtype = f32\n"),
+        seed=7, devices=cpu_devices[:8])
+    st_x, st_p = s_xla.state, s_pl.state
+    for _ in range(2):
+        st_x, _, _, _, d_x = s_xla._sharded_tiled_step(st_x)
+        st_p, _, _, _, d_p = s_pl._sharded_tiled_step(st_p)
+    np.testing.assert_allclose(np.asarray(st_p.lpos), np.asarray(st_x.lpos),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_p.vel), np.asarray(st_x.vel),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_p.kin_energy),
+                               np.asarray(d_x.kin_energy), rtol=1e-5)
