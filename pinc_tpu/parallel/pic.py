@@ -320,24 +320,6 @@ def make_simulation(cfg: PincConfig, seed: int = 1, devices=None) -> Simulation:
     from ..config import required_np
     np_needed = required_np(cfg)
     tiled = cfg.get_str("methods:layout", "flat").lower() == "tiled"
-    if tiled:
-        # route unsupported tiled combinations to the flat paths (which
-        # cover the full BC/object matrix) rather than erroring
-        nd = cfg.get_int("grid:ndims")
-        bnds = cfg.get_str_arr("grid:boundaries", 2 * nd)
-        periodic = all(b.strip().upper() == "PERIODIC" for b in bnds)
-        has_obj = any(
-            name.endswith(".h5")
-            for key in ("objects:objects", "files:objects") if key in cfg
-            for name in cfg.get_str_arr(key))
-        if not periodic and np_needed > 1:
-            msg(WARNING, "bounded + tiled + nSubdomains>1 is not composed "
-                "yet; running on the flat sharded path")
-            tiled = False
-        elif has_obj and np_needed > 1:
-            msg(WARNING, "objects + tiled + nSubdomains>1 is not composed "
-                "yet; running on the flat sharded path")
-            tiled = False
     if np_needed > 1:
         if tiled:
             from .tiled_pic import ShardedTiledSimulation

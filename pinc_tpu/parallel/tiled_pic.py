@@ -53,15 +53,6 @@ class ShardedTiledSimulation(TiledSimulation):
 
     def __init__(self, cfg: PincConfig, seed: int = 1, devices=None):
         super().__init__(cfg, seed=seed)
-        if self.objects is not None:
-            raise NotImplementedError(
-                "objects on the sharded tiled path are not composed yet; "
-                "use the flat sharded path (methods:layout=flat) or a "
-                "single device")
-        if not self.spec.periodic:
-            raise NotImplementedError(
-                "bounded domains on the sharded tiled path are not "
-                "composed yet; use the flat sharded path")
         if self._rebucket_mode != "exchange":
             raise ValueError(
                 "the sharded tiled path supports tiles:rebucket=exchange "
@@ -94,6 +85,43 @@ class ShardedTiledSimulation(TiledSimulation):
         self._rebucket_jit = jax.jit(self._sharded_rebucket,
                                      donate_argnums=(0,),
                                      static_argnames=("species",))
+        if self.objects is not None:
+            # per-device static near-object tile subsets (the single-chip
+            # dilated mask, cut per mesh block and padded to the max count
+            # so every shard runs the same program); -1 rows are inert
+            # (clamped to tile 0, absorbed-mask forced false, idempotent
+            # set-writeback)
+            interior = np.asarray(self.objects.interior_id) > 0
+            T = self.ts.T
+            gnt = self.ts.ntiles
+            tview = interior.reshape(gnt[0], T, gnt[1], T, gnt[2], T)
+            tmask = tview.any(axis=(1, 3, 5))
+            for ax3 in range(3):
+                tmask = tmask | np.roll(tmask, 1, axis=ax3)                     | np.roll(tmask, -1, axis=ax3)
+            lnt = self.ts_local.ntiles
+            nsub = ctx.n_subdomains
+            ids = []
+            for i in range(nsub[0]):
+                for j in range(nsub[1]):
+                    for k in range(nsub[2]):
+                        blk = tmask[i * lnt[0]:(i + 1) * lnt[0],
+                                    j * lnt[1]:(j + 1) * lnt[1],
+                                    k * lnt[2]:(k + 1) * lnt[2]]
+                        ids.append(np.flatnonzero(blk.ravel()))
+            nto = max(max((len(a) for a in ids), default=1), 1)
+            pad = np.full((nsub[0], nsub[1], nsub[2], nto), -1, np.int32)
+            q = 0
+            for i in range(nsub[0]):
+                for j in range(nsub[1]):
+                    for k in range(nsub[2]):
+                        a = ids[q]; q += 1
+                        pad[i, j, k, :len(a)] = a
+            self._obj_tiles_sharded = jax.device_put(
+                jnp.asarray(pad), ctx.sharding(P(*ctx.axes, None)))
+            self._tstep_obj_jit = jax.jit(self._tiled_step_obj,
+                                          donate_argnums=(0,))
+            self._thalf_obj_jit = jax.jit(self._tiled_half_kick_obj,
+                                          donate_argnums=(0,))
         msg(STATUS, "sharded tiled layout: %s device mesh over %s tiles",
             ctx.n_subdomains, self.ts.ntiles)
 
@@ -236,6 +264,38 @@ class ShardedTiledSimulation(TiledSimulation):
         return (TiledState(lpos=st.lpos, vel=jnp.stack(vels),
                            alive=st.alive), jnp.stack(kes))
 
+    def _local_reflect(self, stl):
+        """Specular reflection at non-periodic global walls, per shard:
+        the single-chip tile-local reflection (TiledSimulation.
+        _reflect_walls) with the device's global origin offset added.
+        Reflection keeps every position in [0, L-1], and CIC hat weights
+        vanish one cell out, so the periodic tile wraps (fold, pad,
+        exchange buffers) only ever carry zeros at bounded walls — no
+        other sharded machinery changes."""
+        ln = self.ts_local
+        D = ln.n_dims
+        NTl, B = ln.NT, ln.B
+        origins = tl.tile_origins(ln)                 # (NTl, D) local
+        S = stl.lpos.shape[0]
+        lp = stl.lpos.reshape(S, D, NTl, B)
+        vl = stl.vel.reshape(S, D, NTl, B)
+        for d, bounded in enumerate(self._bounded_dims):
+            if not bounded:
+                continue
+            hi = float(self.ts.grid[d] - 1)
+            off = (lax.axis_index(self.ctx.axes[d])
+                   * self.ctx.true_size[d]).astype(jnp.float32)
+            org = origins[:, d][None, :, None] + off  # (1, NTl, 1)
+            g = lp[:, d] + org
+            period = 2.0 * hi
+            g_m = jnp.mod(g, period)
+            g_r = jnp.where(g_m > hi, period - g_m, g_m)
+            flip = (jnp.floor(g / hi).astype(jnp.int32) % 2) != 0
+            lp = lp.at[:, d].set(g_r - org)
+            vl = vl.at[:, d].set(jnp.where(flip, -vl[:, d], vl[:, d]))
+        return TiledState(lpos=lp.reshape(stl.lpos.shape),
+                          vel=vl.reshape(stl.vel.shape), alive=stl.alive)
+
     def _local_rebucket(self, st, species=None):
         ln = self.ts_local
         D = ln.n_dims
@@ -270,6 +330,117 @@ class ShardedTiledSimulation(TiledSimulation):
             dropped = lax.psum(dropped, ax)
         return TiledState(lpos=lpos, vel=vel, alive=alive), dropped
 
+    def _local_absorb_tiled(self, stl: TiledState, obj_idx):
+        """Per-shard object absorption on the local near-object tile
+        subset (particle half of oCollectObjectCharge,
+        src/object.c:460-515); psum'd per-object charge counter."""
+        from jax import lax as _lax
+        obj = self.objects
+        ln = self.ts_local
+        D, NTl, B = ln.n_dims, ln.NT, ln.B
+        idx = obj_idx.reshape(-1)
+        valid = idx >= 0
+        idxc = jnp.maximum(idx, 0)
+        origins = tl.tile_origins(ln)[idxc]              # (NTo, D) local
+        off = jnp.stack([
+            (_lax.axis_index(self.ctx.axes[d])
+             * self.ctx.true_size[d]).astype(jnp.float32)
+            for d in range(D)])                          # (D,)
+        Lf = jnp.asarray(self.ts.grid, jnp.float32)
+        Li = jnp.asarray(self.ts.grid, jnp.int32)
+        S = stl.lpos.shape[0]
+        counter = jnp.zeros((obj.n_objects + 1,), jnp.float32)
+        alive = stl.alive
+        ash = alive[0].shape
+        for s in range(S):
+            lp = stl.lpos[s].reshape(D, NTl, B)[:, idxc, :]
+            al = alive[s].reshape(NTl, B)[idxc]          # (NTo, B)
+            g = jnp.mod(lp + origins.T[:, :, None] + off[:, None, None],
+                        Lf[:, None, None])
+            cell = jnp.clip(jnp.floor(g).astype(jnp.int32), 0,
+                            Li[:, None, None] - 1)
+            oid = obj.interior_id[cell[0], cell[1], cell[2]]
+            absorbed = (al > 0.5) & (oid > 0) & valid[:, None]
+            q = float(np.asarray(self.params.charge)[s])
+            counter = counter + jax.ops.segment_sum(
+                jnp.where(absorbed, q, 0.0).ravel(),
+                jnp.where(absorbed, oid, 0).ravel(),
+                num_segments=obj.n_objects + 1)
+            new_al = jnp.where(absorbed, 0.0, al)
+            alive = alive.at[s].set(
+                alive[s].reshape(NTl, B).at[idxc].set(new_al).reshape(ash))
+        for ax in self.ctx.axes:
+            counter = _lax.psum(counter, ax)
+        return TiledState(lpos=stl.lpos, vel=stl.vel, alive=alive), counter
+
+    def _tiled_step_obj(self, st: TiledState, rho_obj):
+        """Sharded-tiled object step: same sequence as the single-chip
+        _tiled_step_obj (src/main.c:222-240), with the absorb inside the
+        per-shard deposit map and the capacitance/surface work on the
+        globally-sharded fields."""
+        return self._pipeline_obj(st, rho_obj, half=False, cull_only=False)
+
+    def _tiled_half_kick_obj(self, st: TiledState):
+        st, rho, phi, E, diag, _, _ = self._pipeline_obj(
+            st, self.spec.zeros(), half=True, cull_only=True)
+        return st, rho, phi, E, diag
+
+    def _pipeline_obj(self, st: TiledState, rho_obj, half: bool,
+                      cull_only: bool):
+        ctx = self.ctx
+        sspec = self._state_spec
+        fspec = ctx.field_spec()
+        ospec = P(*ctx.axes, None)
+
+        def dep(stl, obj_idx):
+            if not cull_only:
+                stl = TiledState(lpos=stl.lpos + stl.vel, vel=stl.vel,
+                                 alive=stl.alive)
+                if not self.spec.periodic:
+                    stl = self._local_reflect(stl)
+            n_out = self._out_of_margin(stl)
+            stl, counter = self._local_absorb_tiled(stl, obj_idx)
+            rho = self._local_fields(stl)
+            for ax in ctx.axes:
+                n_out = lax.psum(n_out, ax)
+            return stl, rho, n_out, counter
+
+        st, rho, n_out, counter = _shard_map(
+            dep, ctx.mesh, in_specs=(sspec, ospec),
+            out_specs=(sspec, fspec, P(), P()))(st, self._obj_tiles_sharded)
+
+        obj = self.objects
+        obj_phi = None
+        if cull_only:
+            phi = self._solve(rho)
+        else:
+            rho_obj_flat = rho_obj.ravel()
+            for a in range(obj.n_objects):
+                share = counter[a + 1] / float(len(obj.surface_idx[a]))
+                rho_obj_flat = rho_obj_flat.at[
+                    jnp.asarray(obj.surface_idx[a])].add(
+                        share.astype(rho_obj.dtype))
+            rho_obj = rho_obj_flat.reshape(obj.shape)
+            rho_obj = lax.with_sharding_constraint(rho_obj,
+                                                   ctx.sharding(fspec))
+            rho = rho + rho_obj
+            phi = self._solve(rho)
+            rho, obj_phi = obj.apply_capacitance(rho, phi)
+            phi = self._solve(rho)          # 2nd solve (src/main.c:240)
+        if self.spec.periodic:
+            E = -gradient(phi)
+        else:
+            from ..bc import gradient_bc
+            E = -gradient_bc(phi, self.bc)
+        st, ke = _shard_map(
+            partial(self._local_kick, half=half), ctx.mesh,
+            in_specs=(sspec, ctx.field_spec(n_values=1)),
+            out_specs=(sspec, P()))(st, E)
+        pe = potential_energy(rho, phi)
+        return (st, rho, phi, E,
+                Diagnostics(kin_energy=ke, pot_energy=pe, n_lost=n_out),
+                rho_obj, obj_phi)
+
     # ------------------------------------------------------------ the step
     # _solve is bound in __init__ via parallel.pencil_fft.make_sharded_solver
 
@@ -279,12 +450,14 @@ class ShardedTiledSimulation(TiledSimulation):
         fspec = ctx.field_spec()
 
         def dep(stl):
-            if do_move and self._backend == "pallas":
+            if do_move and self._backend == "pallas" and self.spec.periodic:
                 stl, rho, n_out = self._local_move_fields(stl)
             else:
                 if do_move:
                     stl = TiledState(lpos=stl.lpos + stl.vel, vel=stl.vel,
                                      alive=stl.alive)
+                    if not self.spec.periodic:
+                        stl = self._local_reflect(stl)
                 rho = self._local_fields(stl)
                 n_out = self._out_of_margin(stl)
             for ax in ctx.axes:
@@ -295,7 +468,11 @@ class ShardedTiledSimulation(TiledSimulation):
             dep, ctx.mesh, in_specs=(sspec,),
             out_specs=(sspec, fspec, P()))(st)
         phi = self._solve(rho)
-        E = -gradient(phi)
+        if self.spec.periodic:
+            E = -gradient(phi)
+        else:
+            from ..bc import gradient_bc
+            E = -gradient_bc(phi, self.bc)
         st, ke = _shard_map(
             partial(self._local_kick, half=half), ctx.mesh,
             in_specs=(sspec, ctx.field_spec(n_values=1)),

@@ -574,15 +574,13 @@ class TiledSimulation(Simulation):
         """n steps with in-loop per-species rebucketing.  The schedule is
         STATIC: the scan is split into segments at rebucket events, so no
         lax.cond ever copies the (GB-sized) state on non-rebucket steps."""
-        if self.objects is not None:
-            raise NotImplementedError(
-                "tiled object decks run through run() (the scan driver is "
-                "the benchmark path)")
         events = self._rebucket_schedule(n)
         if len(events) > 64:                     # bound program size
             events = {k: list(range(self.particles.n_species))
                       for k in range(self.rebucket_every, n + 1,
                                      self.rebucket_every)}
+        if self.objects is not None:
+            return self._make_scan_steps_obj(n, events)
         if self._use_mega and type(self) is TiledSimulation:
             return self._make_scan_steps_mega(n, events)
 
@@ -609,6 +607,47 @@ class TiledSimulation(Simulation):
             ke = jnp.concatenate([o[0] for o in outs])
             pe = jnp.concatenate([o[1] for o in outs])
             return st, (ke, pe, dropped)
+        return run_n
+
+    def _make_scan_steps_obj(self, n: int, events):
+        """Scan driver for tiled object decks: the full object feedback
+        sequence (absorb -> deposit+rho_obj -> solve -> capacitance ->
+        solve, src/main.c:222-240) per scan slot, with the absorbed
+        object charge density riding the carry.  Removes the per-step
+        host dispatch of run() (~25-30 ms/step through a tunneled
+        device) for long spacecraft-charging runs."""
+        def body(carry, _):
+            st, rho_obj = carry
+            (st, rho, phi, E, diag, rho_obj,
+             obj_phi) = self._tiled_step_obj(st, rho_obj)
+            return (st, rho_obj), (diag.kin_energy, diag.pot_energy,
+                                   obj_phi)
+
+        @jax.jit
+        def run_n(st, rho_obj=None):
+            if rho_obj is None:
+                rho_obj = self.spec.zeros()
+            carry = (st, rho_obj)
+            outs = []
+            prev = 0
+            dropped = jnp.zeros((), jnp.int32)
+            for k in sorted(set(events) | {n}):
+                if k > n:
+                    break
+                if k > prev:
+                    carry, out = jax.lax.scan(body, carry, None,
+                                              length=k - prev)
+                    outs.append(out)
+                    prev = k
+                for s in events.get(k, []):
+                    st2, d = self._rebucket(carry[0], species=(s,))
+                    carry = (st2, carry[1])
+                    dropped = dropped + d
+            ke = jnp.concatenate([o[0] for o in outs])
+            pe = jnp.concatenate([o[1] for o in outs])
+            obj_phi = jnp.concatenate([o[2] for o in outs])
+            return carry, (ke, pe, dropped, obj_phi)
+
         return run_n
 
     def _make_scan_steps_mega(self, n: int, events):

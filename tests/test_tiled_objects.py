@@ -75,3 +75,26 @@ def test_tiled_objects_charging(tmp_path):
     kf = hf["kinetic"].sum(axis=1)
     kt = ht["kinetic"].sum(axis=1)
     assert np.allclose(kf[:4], kt[:4], rtol=2e-3)
+
+
+def test_tiled_object_scan_matches_run(tmp_path):
+    """The object scan driver reproduces run()'s energy series (same
+    physics sequence, host loop removed)."""
+    dom = make_sphere((16,) * 3, (8, 8, 8), 2.5)
+    path = str(tmp_path / "sphere.grid.h5")
+    save_domain(path, dom)
+
+    sim_r = TiledSimulation(PincConfig.from_string(_deck(path, "tiled")),
+                            seed=4)
+    h = sim_r.run(progress_every=0)
+
+    sim_s = TiledSimulation(PincConfig.from_string(_deck(path, "tiled")),
+                            seed=4)
+    # run() begins with the half-kick; mirror it before scanning
+    st, rho, phi, E, diag = sim_s._thalf_obj_jit(sim_s.state)
+    run_n = sim_s.make_scan_steps(6)
+    (st, rho_obj), (ke, pe, dropped, obj_phi) = run_n(st)
+    ke = np.asarray(ke).sum(axis=1)
+    ref = h["kinetic"][1:].sum(axis=1)
+    np.testing.assert_allclose(ke, ref, rtol=1e-4)
+    assert np.isfinite(np.asarray(obj_phi)).all()

@@ -134,3 +134,60 @@ def test_sharded_pallas_fused_matches_xla(cpu_devices):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(d_p.kin_energy),
                                np.asarray(d_x.kin_energy), rtol=1e-5)
+
+
+def _deck_bounded(nsub, true):
+    return _deck(nsub, true).replace(
+        "boundaries = PERIODIC",
+        "boundaries = DIRICHLET,DIRICHLET,PERIODIC,"
+        "DIRICHLET,DIRICHLET,PERIODIC").replace(
+        "poisson = sSolve", "poisson = mgSolve").replace(
+        "drift = 0.05", "drift = 0") + "\n[multigrid]\nmgLevels = 2\n"
+
+
+def test_sharded_tiled_bounded_matches_single(cpu_devices):
+    """Bounded walls on the sharded tiled path: same energies as the
+    single-device tiled path (reflection in the global frame, MG solve
+    partitioned over the mesh)."""
+    single = TiledSimulation(
+        PincConfig.from_string(_deck_bounded((1, 1, 1), (16, 16, 16))),
+        seed=7)
+    sharded = ShardedTiledSimulation(
+        PincConfig.from_string(_deck_bounded((2, 2, 2), (8, 8, 8))),
+        seed=7, devices=cpu_devices[:8])
+    n = 4
+    _, (ke1, pe1, d1) = single.make_scan_steps(n)(single.state)
+    _, (keN, peN, dN) = sharded.make_scan_steps(n)(sharded.state)
+    assert int(d1) == int(dN) == 0
+    np.testing.assert_allclose(np.asarray(ke1), np.asarray(keN),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(pe1), np.asarray(peN),
+                               rtol=1e-3, atol=1e-8)
+
+
+def test_sharded_tiled_objects_matches_single(cpu_devices, tmp_path):
+    """Objects on the sharded tiled path: energies and object potential
+    match the single-device tiled object run."""
+    from pinc_tpu.objects import make_sphere, save_domain
+    dom = make_sphere((16,) * 3, (8, 8, 8), 2.5)
+    path = str(tmp_path / "sphere.grid.h5")
+    save_domain(path, dom)
+    obj_deck = "[objects]\nobjects = " + path + "\n"
+
+    single = TiledSimulation(
+        PincConfig.from_string(obj_deck + _deck((1, 1, 1), (16, 16, 16))),
+        seed=7)
+    sharded = ShardedTiledSimulation(
+        PincConfig.from_string(obj_deck + _deck((2, 2, 2), (8, 8, 8))),
+        seed=7, devices=cpu_devices[:8])
+    assert sharded.objects is not None
+    h1 = single.run(progress_every=0)
+    hN = sharded.run(progress_every=0)
+    ke1 = h1["kinetic"].sum(axis=1)
+    keN = hN["kinetic"].sum(axis=1)
+    np.testing.assert_allclose(ke1, keN, rtol=1e-4)
+    np.testing.assert_allclose(h1["potential"], hN["potential"],
+                               rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(single.last_obj_potential),
+        np.asarray(sharded.last_obj_potential), rtol=1e-3, atol=1e-6)
