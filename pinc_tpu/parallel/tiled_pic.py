@@ -97,7 +97,8 @@ class ShardedTiledSimulation(TiledSimulation):
             tview = interior.reshape(gnt[0], T, gnt[1], T, gnt[2], T)
             tmask = tview.any(axis=(1, 3, 5))
             for ax3 in range(3):
-                tmask = tmask | np.roll(tmask, 1, axis=ax3)                     | np.roll(tmask, -1, axis=ax3)
+                tmask = (tmask | np.roll(tmask, 1, axis=ax3)
+                         | np.roll(tmask, -1, axis=ax3))
             lnt = self.ts_local.ntiles
             nsub = ctx.n_subdomains
             ids = []
@@ -341,6 +342,10 @@ class ShardedTiledSimulation(TiledSimulation):
         idx = obj_idx.reshape(-1)
         valid = idx >= 0
         idxc = jnp.maximum(idx, 0)
+        # writeback index: pad rows go OUT OF BOUNDS (dropped by scatter
+        # semantics) — clamping them to tile 0 would race a genuine tile-0
+        # row in the duplicate-index scatter below
+        widx = jnp.where(valid, idx, NTl)
         origins = tl.tile_origins(ln)[idxc]              # (NTo, D) local
         off = jnp.stack([
             (_lax.axis_index(self.ctx.axes[d])
@@ -368,7 +373,7 @@ class ShardedTiledSimulation(TiledSimulation):
                 num_segments=obj.n_objects + 1)
             new_al = jnp.where(absorbed, 0.0, al)
             alive = alive.at[s].set(
-                alive[s].reshape(NTl, B).at[idxc].set(new_al).reshape(ash))
+                alive[s].reshape(NTl, B).at[widx].set(new_al).reshape(ash))
         for ax in self.ctx.axes:
             counter = _lax.psum(counter, ax)
         return TiledState(lpos=stl.lpos, vel=stl.vel, alive=alive), counter
