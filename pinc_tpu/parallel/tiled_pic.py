@@ -504,3 +504,91 @@ class ShardedTiledSimulation(TiledSimulation):
 
     def _rebucket(self, st: TiledState, species=None):
         return self._sharded_rebucket(st, species=species)
+
+    def _make_scan_steps_mega(self, n: int):
+        """Sharded mega scan: the single-chip pic_step body per shard
+        (kick with the previous field, drift, deposit — one Pallas kernel
+        for all species), with the padded field tiles riding the carry as
+        a tile-grid-sharded array and every tile wrap on ppermute."""
+        from ..ops import pallas_tiled as ptl
+        ctx = self.ctx
+        sspec = self._state_spec
+        fspec = ctx.field_spec()
+        ln = self.ts_local
+        lnt = ln.ntiles
+        gnt = self.ts.ntiles
+        P3 = ln.P
+        C = 3
+        espec = P(*ctx.axes, None, None, None)
+        interp = jax.devices()[0].platform == "cpu"
+        charge = tuple(float(c) for c in np.asarray(self.params.charge))
+        qm = tuple(float(c / m) for c, m in
+                   zip(charge, np.asarray(self.params.mass)))
+        mass_j = jnp.asarray(np.asarray(self.params.mass), jnp.float32)
+
+        def particles_part(stl, ep5l):
+            S = stl.lpos.shape[0]
+            NTl, B = ln.NT, ln.B
+            tiles, lpos, vel, vdot, _ = ptl.pic_step(
+                ep5l.reshape(NTl, C, P3, P3 * P3),
+                stl.lpos.reshape(S, 3, NTl, B),
+                stl.vel.reshape(S, 3, NTl, B),
+                stl.alive.reshape(S, NTl, B), charge, qm, ln,
+                interpret=interp, mxu_dtype=self._mxu_dtype)
+            rho = tl.fold_to_global(
+                tiles.reshape((NTl,) + (P3,) * 3), ln,
+                roll_fns=self._roll_fns()).astype(self.spec.dtype)
+            ke = 0.5 * mass_j * vdot
+            for ax in ctx.axes:
+                ke = lax.psum(ke, ax)
+            st2 = TiledState(lpos=lpos.reshape(stl.lpos.shape),
+                             vel=vel.reshape(stl.vel.shape),
+                             alive=stl.alive)
+            return st2, rho, ke
+
+        def pad_part(El):
+            return tl.pad_tiles_cmajor(
+                El, ln, roll_fns=self._roll_fns()).reshape(
+                    lnt + (C, P3, P3 * P3))
+
+        pmap_particles = _shard_map(
+            particles_part, ctx.mesh, in_specs=(sspec, espec),
+            out_specs=(sspec, fspec, P()))
+        pmap_pad = _shard_map(pad_part, ctx.mesh,
+                              in_specs=(ctx.field_spec(n_values=1),),
+                              out_specs=espec)
+
+        def body(carry, _):
+            st, ep5, pe_prev = carry
+            st, rho, ke = pmap_particles(st, ep5)
+            phi = self._solve(rho)
+            if self.spec.periodic:
+                E = -gradient(phi)
+            else:
+                from ..bc import gradient_bc
+                E = -gradient_bc(phi, self.bc)
+            pe = potential_energy(rho, phi)
+            ep5n = pmap_pad(E) + 0.0 * pe
+            return (st, ep5n, pe), (ke, pe_prev)
+
+        def fields_of(st):
+            rho = _shard_map(self._local_fields, ctx.mesh,
+                             in_specs=(sspec,), out_specs=fspec)(st)
+            phi = self._solve(rho)
+            if self.spec.periodic:
+                E = -gradient(phi)
+            else:
+                from ..bc import gradient_bc
+                E = -gradient_bc(phi, self.bc)
+            return rho, phi, E
+
+        @jax.jit
+        def run_n(st, rho_obj=None):
+            rho0, phi0, E0 = fields_of(st)
+            pe0 = potential_energy(rho0, phi0)
+            carry = (st, pmap_pad(E0) + 0.0 * pe0, pe0)
+            carry, (ke, pe), dropped = self._scan_with_rebuckets(
+                body, carry, n)
+            return carry[0], (ke, pe, dropped)
+
+        return run_n

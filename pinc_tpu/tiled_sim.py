@@ -656,7 +656,7 @@ class TiledSimulation(Simulation):
         _scan_with_rebuckets for the segment/nesting structure)."""
         if self.objects is not None:
             return self._make_scan_steps_obj(n)
-        if self._use_mega and type(self) is TiledSimulation:
+        if self._use_mega:
             return self._make_scan_steps_mega(n)
 
         def body(carry, _):

@@ -191,3 +191,27 @@ def test_sharded_tiled_objects_matches_single(cpu_devices, tmp_path):
     np.testing.assert_allclose(
         np.asarray(single.last_obj_potential),
         np.asarray(sharded.last_obj_potential), rtol=1e-3, atol=1e-6)
+
+
+def test_sharded_mega_scan_runs(cpu_devices):
+    """The sharded mega scan (per-shard pic_step, field tiles in the
+    carry) runs on the CPU mesh, conserves particles, and its energies
+    stay on the same scale as the pair-kernel sharded scan."""
+    deck = _deck((2, 2, 2), (8, 8, 8))
+    s_m = ShardedTiledSimulation(
+        PincConfig.from_string(deck + "backend = pallas\nmxuDtype = f32\n"),
+        seed=7, devices=cpu_devices[:8])
+    assert s_m._use_mega
+    n0 = int(np.asarray(s_m.state.alive).sum())
+    st, (ke, pe, dropped) = s_m.make_scan_steps(4)(s_m.state)
+    assert int(dropped) == 0
+    assert int(np.asarray(st.alive).sum()) == n0
+    ke = np.asarray(ke)
+    assert ke.shape == (4, 2) and np.isfinite(ke).all()
+
+    s_p = ShardedTiledSimulation(
+        PincConfig.from_string(deck + "backend = pallas\nmxuDtype = f32\n"
+                               "mega = false\n"),
+        seed=7, devices=cpu_devices[:8])
+    _, (ke_p, _, _) = s_p.make_scan_steps(4)(s_p.state)
+    np.testing.assert_allclose(ke[0], np.asarray(ke_p)[0], rtol=0.2)
