@@ -42,6 +42,8 @@ for c in range(10000 // CH):
     tot = ke.sum(axis=1) + pes[-1]
     print(f"chunk {c:3d}: E={tot[-1]:.6e} drops_cum={drops} "
           f"({time.monotonic()-t0:.0f}s)", flush=True)
+    if sim.retune(st):
+        run_ch = sim.make_scan_steps(CH)
 ke = np.concatenate(kes).sum(axis=1)
 pe = np.concatenate(pes)
 tot = ke + pe

@@ -168,6 +168,54 @@ class TiledSimulation(Simulation):
             self.ts.ntiles, T, nd, B, M, self.rebucket_every)
 
     # ------------------------------------------------------------- layout
+    def retune(self, st: Optional["TiledState"] = None) -> bool:
+        """Re-estimate the per-species velocity scales from the CURRENT
+        state and refresh the re-bucket cadences and the exchange face
+        cap.  For long runs whose temperature evolves (grid heating, beam
+        relaxation): a fixed schedule sized from the initial velocities
+        eventually overflows the transfer caps as the tail grows (drops
+        are counted, but a drop imbalance between species charges the
+        domain).  Call between scan windows; scan functions built after
+        the call pick up the new schedule/cap.  Returns True if anything
+        changed."""
+        st = self.state if st is None else st
+        S, D, NT, B = st.vel.shape
+        stride = max(1, NT // 64)
+        vel_np = np.abs(np.asarray(st.vel[:, :, ::stride]))
+        alive_np = np.asarray(st.alive[:, ::stride]) > 0.5
+        changed = False
+        M = self.ts.M
+        for s in range(S):
+            vs = vel_np[s].reshape(D, -1)[:, alive_np[s].reshape(-1)]
+            if not vs.size:
+                continue
+            v = max(float(np.percentile(vs, 99.9)) * 1.5, 1e-3)
+            R = max(1, min(int(M / v), 200))
+            if R != self.rebucket_every_s[s]:
+                msg(STATUS, "retune: species %d re-bucket cadence %d -> %d",
+                    s, self.rebucket_every_s[s], R)
+                self.rebucket_every_s[s] = R
+                changed = True
+        self.rebucket_every = min(self.rebucket_every_s)
+        if self.rebucket_every < 2:
+            msg(WARNING, "retune: cadence hit %d — the velocity scale has "
+                "outgrown margin M=%d (raise tiles:margin)",
+                self.rebucket_every, M)
+        # face cap: scale with the hottest species' drift per cadence
+        ppt = self.particles.capacity * (self.ts.T ** self.ts.n_dims) \
+            / self.spec.global_volume
+        cap = int(math.ceil(max(ppt, 128) * max(M, 1)
+                            / (8.0 * self.ts.T) / 128.0)) * 128
+        cap = max(128, min(cap, (self.ts.B // 8) * 8))
+        if ("tiles:exchangecap" not in self.cfg
+                and cap != self._exchange_cap):
+            self._exchange_cap = cap
+            self._rebucket_jit = jax.jit(self._rebucket,
+                                         donate_argnums=(0,),
+                                         static_argnames=("species",))
+            changed = True
+        return changed
+
     def _bucket_all(self, p: Particles) -> TiledState:
         S = p.n_species
         lposs, vels, alives = [], [], []

@@ -12,7 +12,7 @@ from pinc_tpu.ops.tiled import (TileSpec, bucket, deposit_tiled,
                                 fold_to_global, gather_tiled,
                                 global_positions, pad_tiles)
 from pinc_tpu.simulation import Simulation
-from pinc_tpu.tiled_sim import TiledSimulation
+from pinc_tpu.tiled_sim import TiledSimulation, TiledState
 
 
 @pytest.fixture
@@ -235,3 +235,13 @@ def test_fold_overlap_add_m2():
                             gc = (k * ts2.T + c - ts2.M) % ts2.grid[2]
                             ref[ga, gb, gc] += t5[i, j, k, a, b, c]
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_retune_updates_cadence():
+    """retune() re-estimates cadences from the current (hotter) state."""
+    sim = TiledSimulation(PincConfig.from_string(DECK), seed=3)
+    r0 = list(sim.rebucket_every_s)
+    hot = TiledState(lpos=sim.state.lpos, vel=sim.state.vel * 4.0,
+                     alive=sim.state.alive)
+    assert sim.retune(hot)
+    assert sim.rebucket_every_s[0] < r0[0]
