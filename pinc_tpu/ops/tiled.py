@@ -94,16 +94,21 @@ def bucket(pos: jax.Array, vel: jax.Array, alive: jax.Array,
         tid = tid * nt[d] + tcoord[:, d]
     tid = jnp.where(alive, tid, ts.NT)            # dead last
 
-    # ONE multi-operand stable sort carries the payloads through the sort
+    # multi-operand stable sorts carry the payloads through the sort
     # network — separate argsort + payload gathers cost ~3 extra random
-    # passes at the chip's ~50M lookups/s
+    # passes at the chip's ~50M lookups/s.  TWO sorts with the same key
+    # (stable => identical permutation) instead of one 7-operand sort:
+    # the transient operand buffers are the setup-time memory peak at
+    # 100M+ particle populations
     ops = jax.lax.sort(
-        (tid,) + tuple(pos[:, d] for d in range(D))
-        + tuple(vel[:, d] for d in range(D)),
+        (tid,) + tuple(pos[:, d] for d in range(D)),
         dimension=0, num_keys=1, is_stable=True)
     tid_s = ops[0]
     pos_s = jnp.stack(ops[1:1 + D], axis=-1)
-    vel_s = jnp.stack(ops[1 + D:1 + 2 * D], axis=-1)
+    ops_v = jax.lax.sort(
+        (tid,) + tuple(vel[:, d] for d in range(D)),
+        dimension=0, num_keys=1, is_stable=True)
+    vel_s = jnp.stack(ops_v[1:1 + D], axis=-1)
 
     # segment starts via searchsorted; slot (t, b) <- sorted index start[t]+b
     starts = jnp.searchsorted(tid_s, jnp.arange(ts.NT, dtype=tid_s.dtype))
@@ -119,6 +124,60 @@ def bucket(pos: jax.Array, vel: jax.Array, alive: jax.Array,
     lvel = jnp.where(valid[..., None], lvel, 0.0)
     dropped = jnp.sum(jnp.maximum(counts - ts.B, 0))
     return lpos.astype(jnp.float32), lvel.astype(jnp.float32), valid, dropped
+
+
+def _tile_ids(pos: jax.Array, alive: jax.Array, ts: TileSpec) -> jax.Array:
+    D = ts.n_dims
+    nt = ts.ntiles
+    tcoord = jnp.floor(pos / ts.T).astype(jnp.int32)
+    tcoord = jnp.clip(tcoord, 0, jnp.asarray([n - 1 for n in nt]))
+    tid = tcoord[:, 0]
+    for d in range(1, D):
+        tid = tid * nt[d] + tcoord[:, d]
+    return jnp.where(alive, tid, ts.NT)       # dead last
+
+
+def _slot_map(tid_s: jax.Array, ts: TileSpec):
+    """sorted tile ids -> (src (NT,B) sorted-index per slot, valid mask,
+    dropped count)."""
+    starts = jnp.searchsorted(tid_s, jnp.arange(ts.NT, dtype=tid_s.dtype))
+    counts = jnp.diff(jnp.concatenate(
+        [starts, jnp.searchsorted(tid_s, jnp.asarray([ts.NT],
+                                                     dtype=tid_s.dtype))]))
+    src = starts[:, None] + jnp.arange(ts.B)[None, :]
+    valid = jnp.arange(ts.B)[None, :] < counts[:, None]
+    dropped = jnp.sum(jnp.maximum(counts - ts.B, 0))
+    return jnp.clip(src, 0, tid_s.shape[0] - 1), valid, dropped
+
+
+def bucket_positions(pos: jax.Array, alive: jax.Array, ts: TileSpec):
+    """Phase A of two-phase bucketing: positions only.
+    Returns (lpos (NT,B,D), valid (NT,B), tid (N,) UNSORTED, dropped) —
+    phase B re-sorts any payload with the same (stable) tid key and
+    lands on the identical permutation."""
+    D = ts.n_dims
+    tid = _tile_ids(pos, alive, ts)
+    ops = jax.lax.sort((tid,) + tuple(pos[:, d] for d in range(D)),
+                       dimension=0, num_keys=1, is_stable=True)
+    tid_s = ops[0]
+    pos_s = jnp.stack(ops[1:1 + D], axis=-1)
+    src, valid, dropped = _slot_map(tid_s, ts)
+    lpos = pos_s[src] - tile_origins(ts)[:, None, :]
+    lpos = jnp.where(valid[..., None], lpos, -2.0 * ts.M - 2.0)
+    return lpos.astype(jnp.float32), valid, tid, dropped
+
+
+def bucket_payload(tid: jax.Array, payload: jax.Array, ts: TileSpec):
+    """Phase B: route any (N, D) payload through the same stable-sort
+    permutation as bucket_positions (identical tid key)."""
+    D = payload.shape[-1]
+    ops = jax.lax.sort((tid,) + tuple(payload[:, d] for d in range(D)),
+                       dimension=0, num_keys=1, is_stable=True)
+    tid_s = ops[0]
+    pay_s = jnp.stack(ops[1:1 + D], axis=-1)
+    src, valid, _ = _slot_map(tid_s, ts)
+    out = pay_s[src]
+    return jnp.where(valid[..., None], out, 0.0).astype(jnp.float32)
 
 
 def global_positions(lpos: jax.Array, ts: TileSpec) -> jax.Array:

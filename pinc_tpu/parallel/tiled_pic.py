@@ -37,6 +37,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+
+
 from ..config import PincConfig
 from ..grid import gradient, potential_energy
 from ..ops import tiled as tl
@@ -505,7 +507,7 @@ class ShardedTiledSimulation(TiledSimulation):
     def _rebucket(self, st: TiledState, species=None):
         return self._sharded_rebucket(st, species=species)
 
-    def _make_scan_steps_mega(self, n: int):
+    def _make_scan_steps_mega(self, n: int, donate: bool = False):
         """Sharded mega scan: the single-chip pic_step body per shard
         (kick with the previous field, drift, deposit — one Pallas kernel
         for all species), with the padded field tiles riding the carry as
@@ -582,7 +584,6 @@ class ShardedTiledSimulation(TiledSimulation):
                 E = -gradient_bc(phi, self.bc)
             return rho, phi, E
 
-        @jax.jit
         def run_n(st, rho_obj=None):
             rho0, phi0, E0 = fields_of(st)
             pe0 = potential_energy(rho0, phi0)
@@ -591,4 +592,5 @@ class ShardedTiledSimulation(TiledSimulation):
                 body, carry, n)
             return carry[0], (ke, pe, dropped)
 
-        return run_n
+        from ..tiled_sim import _jit_maybe_donate
+        return _jit_maybe_donate(run_n, donate)

@@ -234,50 +234,11 @@ def initialize_device(cfg: PincConfig, spec: GridSpec,
     L = spec.global_size
     V = spec.global_volume
     dtype = spec.dtype
-    key = jax.random.PRNGKey(seed)
 
     cells, fracs, vels, alives = [], [], [], []
     for s in range(ns):
-        n = n_particles[s]
-        if n % V != 0:
-            raise ValueError(
-                f"device init needs nParticles per species divisible by the "
-                f"cell count (got {n} over {V} cells); use 'pc' units")
-        ppc = n // V
-        idx = jnp.arange(cap, dtype=jnp.int32)
-        cell_lin = idx // ppc                 # exact integer cell index
-        slot = idx % ppc
-        # unravel cell_lin -> (cap, D), last dim fastest (C order)
-        cell = []
-        rem = cell_lin
-        for d in range(nd - 1, -1, -1):
-            cell.append(rem % L[d])
-            rem = rem // L[d]
-        cell = jnp.stack(cell[::-1], axis=-1)
-        # sub-lattice offsets within the cell: golden-ratio sequence per
-        # dim — low-discrepancy, deterministic, species-shifted
-        slotf = slot.astype(dtype) + 0.5 + 0.1 * s
-        golden = [0.6180339887, 0.7548776662, 0.8191725134][:nd]
-        frac = jnp.stack([jnp.mod(slotf * g, 1.0).astype(dtype)
-                          for g in golden], axis=-1)
-        if np.any(pert_amp[s] != 0.0):
-            pos = cell.astype(dtype) + frac
-            theta = (2.0 * np.pi) * jnp.asarray(pert_mode[s], dtype) * pos \
-                / jnp.asarray(L, dtype)
-            pos = pos + jnp.asarray(pert_amp[s], dtype) * jnp.cos(theta)
-            pos = jnp.mod(pos, jnp.asarray(L, dtype))
-            cellf = jnp.floor(pos)
-            frac = (pos - cellf).astype(dtype)
-            cell = cellf.astype(jnp.int32)
-        key, sub = jax.random.split(key)
-        if vth[s] != 0.0:
-            vel = (drift[s] + vth[s]
-                   * jax.random.normal(sub, (cap, nd), dtype=dtype))
-        else:
-            vel = jnp.full((cap, nd), float(drift[s]), dtype=dtype)
-        alive = jnp.arange(cap) < n
-        vel = jnp.where(alive[:, None], vel, 0.0)
-        cells.append(cell.astype(jnp.int32))
+        cell, frac, vel, alive = device_species(cfg, spec, seed, s)
+        cells.append(cell)
         fracs.append(frac)
         vels.append(vel)
         alives.append(alive)
@@ -289,7 +250,127 @@ def initialize_device(cfg: PincConfig, spec: GridSpec,
     return particles, params
 
 
+def device_species(cfg: PincConfig, spec: GridSpec, seed: int, s: int,
+                   parts: str = "all"):
+    """On-device ICs for ONE species: (cell, frac, vel, alive), each
+    (cap, D)/(cap,).  Same key split-chain as the stacked initializer, so
+    a per-species consumer (e.g. the tiled bucketer at 100M+ populations,
+    which frees each species before generating the next) reproduces
+    initialize_device exactly.  parts='pos' skips the velocity array,
+    'vel' skips positions (two-phase bucketing keeps only one of the two
+    multi-GB payloads live at a time); skipped outputs are None."""
+    nd = spec.n_dims
+    ns = cfg.get_int("population:nspecies")
+    n_particles = [int(v) for v in
+                   cfg.get_double_arr("population:nparticles", ns)]
+    n_alloc_key = ("population:nalloc" if "population:nalloc" in cfg
+                   else "population:nparticles")
+    n_alloc = [int(v) for v in cfg.get_double_arr(n_alloc_key, ns)]
+    cap = max(max(n_alloc), max(n_particles))
+    vth = (cfg.get_double_arr("population:thermalvelocity", ns)
+           if "population:thermalvelocity" in cfg else [0.0] * ns)
+    drift = (cfg.get_double_arr("population:drift", ns)
+             if "population:drift" in cfg else [0.0] * ns)
+    pert_amp = np.zeros((ns, nd))
+    pert_mode = np.zeros((ns, nd))
+    if "population:perturbamplitude" in cfg:
+        pert_amp = np.asarray(cfg.get_double_arr(
+            "population:perturbamplitude", ns * nd)).reshape(ns, nd)
+    if "population:perturbmode" in cfg:
+        pert_mode = np.asarray(cfg.get_double_arr(
+            "population:perturbmode", ns * nd)).reshape(ns, nd)
+    L = spec.global_size
+    V = spec.global_volume
+    dtype = spec.dtype
+    key = jax.random.PRNGKey(seed)
+    sub = None
+    for _ in range(s + 1):
+        key, sub = jax.random.split(key)
+
+    n = n_particles[s]
+    if n % V != 0:
+        raise ValueError(
+            f"device init needs nParticles per species divisible by the "
+            f"cell count (got {n} over {V} cells); use 'pc' units")
+    ppc = n // V
+    alive = jnp.arange(cap) < n
+    if parts == "vel":
+        key2 = sub
+        if vth[s] != 0.0:
+            vel = (drift[s] + vth[s]
+                   * jax.random.normal(key2, (cap, nd), dtype=dtype))
+        else:
+            vel = jnp.full((cap, nd), float(drift[s]), dtype=dtype)
+        vel = jnp.where(alive[:, None], vel, 0.0)
+        return None, None, vel, alive
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    cell_lin = idx // ppc                 # exact integer cell index
+    slot = idx % ppc
+    # unravel cell_lin -> (cap, D), last dim fastest (C order)
+    cell = []
+    rem = cell_lin
+    for d in range(nd - 1, -1, -1):
+        cell.append(rem % L[d])
+        rem = rem // L[d]
+    cell = jnp.stack(cell[::-1], axis=-1)
+    # sub-lattice offsets within the cell: golden-ratio sequence per
+    # dim — low-discrepancy, deterministic, species-shifted
+    slotf = slot.astype(dtype) + 0.5 + 0.1 * s
+    golden = [0.6180339887, 0.7548776662, 0.8191725134][:nd]
+    frac = jnp.stack([jnp.mod(slotf * g, 1.0).astype(dtype)
+                      for g in golden], axis=-1)
+    if np.any(pert_amp[s] != 0.0):
+        pos = cell.astype(dtype) + frac
+        theta = (2.0 * np.pi) * jnp.asarray(pert_mode[s], dtype) * pos \
+            / jnp.asarray(L, dtype)
+        pos = pos + jnp.asarray(pert_amp[s], dtype) * jnp.cos(theta)
+        pos = jnp.mod(pos, jnp.asarray(L, dtype))
+        cellf = jnp.floor(pos)
+        frac = (pos - cellf).astype(dtype)
+        cell = cellf.astype(jnp.int32)
+    if parts == "pos":
+        return cell.astype(jnp.int32), frac, None, alive
+    if vth[s] != 0.0:
+        vel = (drift[s] + vth[s]
+               * jax.random.normal(sub, (cap, nd), dtype=dtype))
+    else:
+        vel = jnp.full((cap, nd), float(drift[s]), dtype=dtype)
+    vel = jnp.where(alive[:, None], vel, 0.0)
+    return cell.astype(jnp.int32), frac, vel, alive
+
+
 DEVICE_INIT_THRESHOLD = 4_000_000
+
+
+def species_params_of(cfg: PincConfig, spec: GridSpec) -> SpeciesParams:
+    """Just the per-species charge/mass table (no particle arrays)."""
+    ns = cfg.get_int("population:nspecies")
+    charge = cfg.get_double_arr("population:charge", ns)
+    mass = cfg.get_double_arr("population:mass", ns)
+    return SpeciesParams(charge=jnp.asarray(charge, dtype=spec.dtype),
+                         mass=jnp.asarray(mass, dtype=spec.dtype))
+
+
+def wants_device_init(cfg: PincConfig) -> bool:
+    """True when initialize_auto would take the on-device path."""
+    ns = cfg.get_int("population:nspecies")
+    n_alloc_key = ("population:nalloc" if "population:nalloc" in cfg
+                   else "population:nparticles")
+    cap = max(int(v) for v in cfg.get_double_arr(n_alloc_key, ns))
+    if cfg.get_bool("population:icdevice", False):
+        return True
+    return ("population:icdevice" not in cfg
+            and cap > DEVICE_INIT_THRESHOLD
+            and cfg.get_str("population:icpositions", "lattice") == "lattice")
+
+
+def capacity_of(cfg: PincConfig) -> int:
+    ns = cfg.get_int("population:nspecies")
+    n_alloc_key = ("population:nalloc" if "population:nalloc" in cfg
+                   else "population:nparticles")
+    n_alloc = [int(v) for v in cfg.get_double_arr(n_alloc_key, ns)]
+    n_part = [int(v) for v in cfg.get_double_arr("population:nparticles", ns)]
+    return max(max(n_alloc), max(n_part))
 
 
 def initialize_auto(cfg: PincConfig, spec: GridSpec,

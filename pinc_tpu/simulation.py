@@ -94,8 +94,22 @@ class Simulation:
         dims_periodic = tuple(b is BndType.PERIODIC for b in self.bc.upper)
         self._periodic_dims = (self.spec.periodic if len(set(dims_periodic)) == 1
                                else dims_periodic)
-        self.particles, self.params = initialize_auto(cfg, self.spec,
-                                                      seed=seed)
+        # subclasses that rebuild their own state representation can opt
+        # out of materializing the flat (S, cap, D) arrays at giant
+        # populations (the duplicate copy would not fit HBM next to the
+        # rebuilt state) — they regenerate per species on device instead
+        from .population import capacity_of, species_params_of, \
+            wants_device_init
+        defer = (getattr(self, "_DEFER_PARTICLES", False)
+                 and wants_device_init(cfg)
+                 and capacity_of(cfg)
+                 * cfg.get_int("population:nspecies") > 32_000_000)
+        if defer:
+            self.particles = None
+            self.params = species_params_of(cfg, self.spec)
+        else:
+            self.particles, self.params = initialize_auto(cfg, self.spec,
+                                                          seed=seed)
         self.n_time_steps = cfg.get_int("time:ntimesteps")
 
         from . import objects as _objects

@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def _jit_maybe_donate(fn, donate):
+    """Scan drivers optionally donate their input state (the bench path:
+    the caller must treat the passed state as consumed)."""
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
 from .config import PincConfig
 from .grid import gradient, potential_energy
 from .ops import tiled as tl
@@ -49,6 +55,9 @@ class TiledState:
 
 
 class TiledSimulation(Simulation):
+    _DEFER_PARTICLES = True    # rebucket from per-species regeneration at
+                               # giant populations (see Simulation.__init__)
+
     def __init__(self, cfg: PincConfig, seed: int = 1):
         super().__init__(cfg, seed=seed)
         from .grid import BndType
@@ -69,15 +78,26 @@ class TiledSimulation(Simulation):
         # full (S, N, D) velocity array to the host — at production sizes
         # that transfer is ~1 GB through the device tunnel and dominated
         # setup time; the 99.9th percentile of a 500k sample is stable
-        N_cap = self.particles.vel.shape[1]
-        stride = max(1, N_cap // 500_000)
-        vel_np = np.abs(np.asarray(self.particles.vel[:, ::stride]))
-        alive_np = np.asarray(self.particles.alive[:, ::stride])
-        vmax_s = []
-        for s in range(self.particles.n_species):
-            vs = vel_np[s][alive_np[s]]
-            vmax_s.append(max(float(np.percentile(vs, 99.9)) * 1.5
-                              if vs.size else 0.0, 1e-3))
+        ns = cfg.get_int("population:nspecies")
+        if self.particles is not None:
+            N_cap = self.particles.vel.shape[1]
+            stride = max(1, N_cap // 500_000)
+            vel_np = np.abs(np.asarray(self.particles.vel[:, ::stride]))
+            alive_np = np.asarray(self.particles.alive[:, ::stride])
+            vmax_s = []
+            for s in range(ns):
+                vs = vel_np[s][alive_np[s]]
+                vmax_s.append(max(float(np.percentile(vs, 99.9)) * 1.5
+                                  if vs.size else 0.0, 1e-3))
+        else:
+            # deferred flat init: the same 99.9th-percentile * 1.5
+            # statistic analytically (3.29 sigma for a Maxwellian)
+            vth = (cfg.get_double_arr("population:thermalvelocity", ns)
+                   if "population:thermalvelocity" in cfg else [0.0] * ns)
+            dr = (cfg.get_double_arr("population:drift", ns)
+                  if "population:drift" in cfg else [0.0] * ns)
+            vmax_s = [max((3.29 * abs(vth[s]) + abs(dr[s])) * 1.5, 1e-3)
+                      for s in range(ns)]
         vmax_est = max(vmax_s)
         M = cfg.get_int("tiles:margin", 1 if 1.0 / vmax_est >= 4 else 2)
         # kernel MXU+VPU cycles scale with the SLOT count NT*B, not the
@@ -88,8 +108,16 @@ class TiledSimulation(Simulation):
         # slack (+512) leaves >5 sigma of bucket head room
         slack = cfg.get_double("tiles:slack", 1.25)
         # per-species particles per tile
-        ppt = self.particles.capacity * (T ** nd) / self.spec.global_volume
-        B = int(math.ceil(ppt * slack / 128.0)) * 128
+        from .population import capacity_of
+        cap_all = (self.particles.capacity if self.particles is not None
+                   else capacity_of(cfg))
+        ppt = cap_all * (T ** nd) / self.spec.global_volume
+        # quantum: 128 lanes minimum; 1024 at production sizes so the
+        # exchange kernels' lane-chunk (largest power-of-two divisor
+        # <= 2048) stays >= 1024 — a B like 26112 (%1024 = 512) halves
+        # the chunk and doubles the per-chunk overhead
+        quantum = 1024 if ppt * slack >= 8192 else 128
+        B = int(math.ceil(ppt * slack / quantum)) * quantum
         self.ts = tl.TileSpec(grid=self.spec.global_size, T=T, M=M, B=B,
                               chunk=cfg.get_int("tiles:chunk", 32))
         self.ts.validate()
@@ -153,7 +181,18 @@ class TiledSimulation(Simulation):
             msg(STATUS, "tiled objects: %d/%d tiles near object surfaces",
                 int(self._obj_tiles.shape[0]), self.ts.NT)
 
-        self.state = self._bucket_all(self.particles)
+        self._capacity = cap_all
+        if self.particles is None:
+            # deferred flat init (see Simulation.__init__): regenerate
+            # each species on device right before bucketing it — the
+            # flat (S, cap, D) arrays never coexist with the tiled state.
+            # to_particles(state) reconstructs a flat view on demand
+            # (run() and the writers already use it).
+            self.state = self._bucket_all_generate(seed)
+        else:
+            self.state = self._bucket_all(self.particles)
+            if cap_all * ns > 32_000_000:
+                self.particles = None
         self._tstep_jit = jax.jit(self._tiled_step, donate_argnums=(0,))
         self._thalf_jit = jax.jit(self._tiled_half_kick, donate_argnums=(0,))
         if self.objects is not None:
@@ -202,7 +241,7 @@ class TiledSimulation(Simulation):
                 "outgrown margin M=%d (raise tiles:margin)",
                 self.rebucket_every, M)
         # face cap: scale with the hottest species' drift per cadence
-        ppt = self.particles.capacity * (self.ts.T ** self.ts.n_dims) \
+        ppt = self._capacity * (self.ts.T ** self.ts.n_dims) \
             / self.spec.global_volume
         cap = int(math.ceil(max(ppt, 128) * max(M, 1)
                             / (8.0 * self.ts.T) / 128.0)) * 128
@@ -217,16 +256,84 @@ class TiledSimulation(Simulation):
         return changed
 
     def _bucket_all(self, p: Particles) -> TiledState:
+        """Initial bucketing, assembled INCREMENTALLY into preallocated
+        state arrays with donated updates — jnp.stack over per-species
+        pieces held live simultaneously was the setup memory peak at
+        100M+ particle populations (flat arrays + pieces + stack copies
+        exceeded HBM)."""
+        from functools import partial as _partial
         S = p.n_species
-        lposs, vels, alives = [], [], []
+        D, NT, B = self.ts.n_dims, self.ts.NT, self.ts.B
+
+        bucket_jit = jax.jit(tl.bucket, static_argnums=(3,))
+
+        @_partial(jax.jit, static_argnums=(1,), donate_argnums=(0, 2))
+        def set_vec(big, s, small):
+            return big.at[s].set(jnp.moveaxis(small, -1, 0))
+
+        @_partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+        def set_row(big, s, small):
+            return big.at[s].set(small.astype(jnp.float32))
+
+        lpos = jnp.zeros((S, D, NT, B), jnp.float32)
+        vel = jnp.zeros((S, D, NT, B), jnp.float32)
+        alive = jnp.zeros((S, NT, B), jnp.float32)
         for s in range(S):
             pos = p.cell[s].astype(jnp.float32) + p.frac[s]
-            lp, lv, la, dropped = tl.bucket(pos, p.vel[s], p.alive[s], self.ts)
-            lposs.append(jnp.moveaxis(lp, -1, 0))
-            vels.append(jnp.moveaxis(lv, -1, 0))
-            alives.append(la.astype(jnp.float32))
-        return TiledState(lpos=jnp.stack(lposs), vel=jnp.stack(vels),
-                          alive=jnp.stack(alives))
+            lp, lv, la, dropped = bucket_jit(pos, p.vel[s], p.alive[s],
+                                             self.ts)
+            del pos
+            lpos = set_vec(lpos, s, lp)
+            del lp
+            vel = set_vec(vel, s, lv)
+            del lv
+            alive = set_row(alive, s, la)
+            del la
+        return TiledState(lpos=lpos, vel=vel, alive=alive)
+
+    def _bucket_all_generate(self, seed: int) -> TiledState:
+        """Per-species generate -> bucket -> free: never holds the flat
+        (S, cap, D) arrays and the tiled state simultaneously."""
+        from functools import partial as _partial
+        from .population import device_species
+        S = self.params.charge.shape[0]
+        D, NT, B = self.ts.n_dims, self.ts.NT, self.ts.B
+        @_partial(jax.jit, static_argnums=(1,), donate_argnums=(0, 2))
+        def set_vec(big, s, small):
+            return big.at[s].set(jnp.moveaxis(small, -1, 0))
+
+        @_partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+        def set_row(big, s, small):
+            return big.at[s].set(small.astype(jnp.float32))
+
+        bucket_pos_jit = jax.jit(tl.bucket_positions, static_argnums=(2,),
+                                 donate_argnums=(0,))
+        bucket_pay_jit = jax.jit(tl.bucket_payload, static_argnums=(2,),
+                                 donate_argnums=(1,))
+        lpos = jnp.zeros((S, D, NT, B), jnp.float32)
+        vel = jnp.zeros((S, D, NT, B), jnp.float32)
+        alive = jnp.zeros((S, NT, B), jnp.float32)
+        for s in range(S):
+            # two-phase: positions bucketed and freed before velocities
+            # are even generated — only one multi-GB payload set is ever
+            # live next to the growing state
+            cell, frac, _, al = device_species(self.cfg, self.spec,
+                                               seed, s, parts="pos")
+            pos = cell.astype(jnp.float32) + frac
+            del cell, frac
+            lp, la, tid, dropped = bucket_pos_jit(pos, al, self.ts)
+            del pos, al
+            lpos = set_vec(lpos, s, lp)
+            del lp
+            alive = set_row(alive, s, la)
+            del la
+            _, _, v, _ = device_species(self.cfg, self.spec, seed, s,
+                                        parts="vel")
+            lv = bucket_pay_jit(tid, v, self.ts)
+            del v, tid
+            vel = set_vec(vel, s, lv)
+            del lv
+        return TiledState(lpos=lpos, vel=vel, alive=alive)
 
     def _rebucket_one(self, lpos_s, vel_s, alive_s):
         """Re-bucket a single species: (D,NT,B)x2 + (NT,B) -> same +
@@ -699,26 +806,27 @@ class TiledSimulation(Simulation):
         out = tree.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
         return carry, out, dropped
 
-    def make_scan_steps(self, n: int):
+    def make_scan_steps(self, n: int, donate: bool = False):
         """n steps with in-loop per-species rebucketing (see
-        _scan_with_rebuckets for the segment/nesting structure)."""
+        _scan_with_rebuckets for the segment/nesting structure).
+        donate=True consumes the state argument (for GB-scale states
+        whose caller will not reuse them, e.g. bench.py)."""
         if self.objects is not None:
-            return self._make_scan_steps_obj(n)
+            return self._make_scan_steps_obj(n, donate)
         if self._use_mega:
-            return self._make_scan_steps_mega(n)
+            return self._make_scan_steps_mega(n, donate)
 
         def body(carry, _):
             st, rho, phi, E, diag = self._step_for_scan(carry[0])
             return (st,), (diag.kin_energy, diag.pot_energy)
 
-        @jax.jit
         def run_n(st, rho_obj=None):
             carry, (ke, pe), dropped = self._scan_with_rebuckets(
                 body, (st,), n)
             return carry[0], (ke, pe, dropped)
-        return run_n
+        return _jit_maybe_donate(run_n, donate)
 
-    def _make_scan_steps_obj(self, n: int):
+    def _make_scan_steps_obj(self, n: int, donate: bool = False):
         """Scan driver for tiled object decks: the full object feedback
         sequence (absorb -> deposit+rho_obj -> solve -> capacitance ->
         solve, src/main.c:222-240) per scan slot, with the absorbed
@@ -732,7 +840,6 @@ class TiledSimulation(Simulation):
             return (st, rho_obj), (diag.kin_energy, diag.pot_energy,
                                    obj_phi)
 
-        @jax.jit
         def run_n(st, rho_obj=None):
             if rho_obj is None:
                 rho_obj = self.spec.zeros()
@@ -740,9 +847,9 @@ class TiledSimulation(Simulation):
                 body, (st, rho_obj), n)
             return carry, (ke, pe, dropped, obj_phi)
 
-        return run_n
+        return _jit_maybe_donate(run_n, donate)
 
-    def _make_scan_steps_mega(self, n: int):
+    def _make_scan_steps_mega(self, n: int, donate: bool = False):
         """Scan driver over the mega-fused step kernel: kick v with the
         PREVIOUS step's field, drift, deposit — one pic_step kernel + one
         field solve per step; the padded field tiles ride the scan carry.
@@ -780,7 +887,6 @@ class TiledSimulation(Simulation):
             ep5n = pad5(E) + 0.0 * pe
             return (st2, ep5n, pe), (ke, pe_prev)
 
-        @jax.jit
         def run_n(st, rho_obj=None):
             rho0, phi0, E0 = self._fields(st)
             pe0 = potential_energy(rho0, phi0)
@@ -789,4 +895,4 @@ class TiledSimulation(Simulation):
                 body, carry, n)
             return carry[0], (ke, pe, dropped)
 
-        return run_n
+        return _jit_maybe_donate(run_n, donate)

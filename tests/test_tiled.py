@@ -245,3 +245,23 @@ def test_retune_updates_cadence():
                      alive=sim.state.alive)
     assert sim.retune(hot)
     assert sim.rebucket_every_s[0] < r0[0]
+
+
+def test_generate_bucketing_matches_flat():
+    """The deferred per-species generate->bucket path (used at 100M+
+    populations) produces the identical state to bucketing the flat
+    arrays."""
+    deck = DECK + "\n[population]\nicDevice = true\n" \
+        if "[population]" not in DECK else DECK
+    cfg = PincConfig.from_string(DECK.replace(
+        "[methods]", "[methods]\n").replace(
+        "nSpecies = 2", "nSpecies = 2\nicDevice = true"))
+    sim = TiledSimulation(cfg, seed=3)
+    st_flat = sim.state
+    st_gen = sim._bucket_all_generate(3)
+    np.testing.assert_array_equal(np.asarray(st_flat.lpos),
+                                  np.asarray(st_gen.lpos))
+    np.testing.assert_array_equal(np.asarray(st_flat.vel),
+                                  np.asarray(st_gen.vel))
+    np.testing.assert_array_equal(np.asarray(st_flat.alive),
+                                  np.asarray(st_gen.alive))
