@@ -87,7 +87,116 @@ def _chunked_cumsum(m: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# extract: compacted leaver buffers + killed alive plane
+# extract: compacted leaver buffers + killed alive plane.
+#
+# v3 (fused ranks): the kernel views each tile row as an (8, B/8) block
+# and computes the leaver prefix-sums IN KERNEL — lane-blocked inclusive
+# scans as (8, 128) @ U128 triangular matmuls with a running (8, 1)
+# carry, then a (8, 8) strict-triangular matmul for the cross-sublane
+# carry.  This removes the two XLA chunked-cumsum rank builds and the
+# (NT, B) int32 rank array round-trip per dimension.
+# ---------------------------------------------------------------------------
+
+def _tri_incl(b, dtype=jnp.float32):
+    """(b, b) upper-triangular ones (inclusive scan when right-applied)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return (i <= j).astype(dtype)
+
+
+def _scan_lanes_8(m):
+    """(8, L) f32 0/1 -> inclusive prefix in (sublane-major, lane) order.
+    Exact for counts (f32 integers)."""
+    L = m.shape[-1]
+    nb = L // 128
+    rem = L - nb * 128
+    out_blocks = []
+    running = jnp.zeros((8, 1), jnp.float32)
+    u128 = _tri_incl(128)
+    for b in range(nb):
+        blk = m[:, b * 128:(b + 1) * 128]
+        c = jax.lax.dot_general(blk, u128, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_blocks.append(c + running)
+        running = running + c[:, 127:128]
+    if rem:
+        blk = m[:, nb * 128:]
+        c = jax.lax.dot_general(blk, _tri_incl(rem),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_blocks.append(c + running)
+        running = running + c[:, rem - 1:rem]
+    scanned = (out_blocks[0] if len(out_blocks) == 1
+               else jnp.concatenate(out_blocks, axis=1))
+    # cross-sublane exclusive carry of the row totals
+    i = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    strict = (j < i).astype(jnp.float32)
+    base = jax.lax.dot_general(strict, running, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return scanned + base
+
+
+def _extract_fused_kernel(coord_ref, alive_ref, *plane_refs_out, K, T, L):
+    *plane_refs, buf_ref, alive_out_ref = plane_refs_out
+    K2 = 2 * K
+    coord = coord_ref[0]                               # (8, L)
+    alive = alive_ref[0]
+    al = alive > 0.5
+    lm = al & (coord < 0.0)
+    lp = al & (coord >= float(T))
+    rm = _scan_lanes_8(lm.astype(jnp.float32)) - 1.0
+    rp = _scan_lanes_8(lp.astype(jnp.float32)) - 1.0
+    # buffer column per slot: minus-goers [0, K), plus-goers [K, 2K),
+    # overflow -> 2K (matches no column: killed but dropped), stay -> -1
+    rank = jnp.where(lm & (rm < K), rm,
+                     jnp.where(lp & (rp < K), float(K) + rp, -1.0))
+    kill_only = (lm & (rm >= K)) | (lp & (rp >= K))
+    rank = jnp.where(kill_only, float(K2), rank)
+    leave = rank >= 0.0
+    alive_out_ref[0] = jnp.where(leave, 0.0, alive)
+
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (K2, L), 0).astype(
+        jnp.float32)
+    acc = jnp.zeros((8, K2), jnp.float32)
+    ones = jnp.ones((1, L), jnp.float32)
+    zeros = jnp.zeros((1, L), jnp.float32)
+    for s in range(8):
+        onehot_t = (kidx == rank[s:s + 1, :]).astype(jnp.float32)
+        pay = jnp.concatenate(
+            [r[0][s:s + 1, :] for r in plane_refs] + [ones, zeros],
+            axis=0)                                    # (8, L)
+        acc = acc + jax.lax.dot_general(
+            pay, onehot_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    buf_ref[0] = acc
+
+
+def extract_fused(coord: jax.Array, alive: jax.Array,
+                  planes: Tuple[jax.Array, ...], K: int, T: int,
+                  interpret: bool = False):
+    """coord/alive/planes (NT, B) f32 with B % 8 == 0.  Computes leaver
+    ranks in kernel and returns (bufs (NT, 8, 2K), alive_killed (NT, B))."""
+    NT, B = alive.shape
+    L = B // 8
+    row = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    r3 = lambda a: a.reshape(NT, 8, L)
+    bufs, alive2 = pl.pallas_call(
+        partial(_extract_fused_kernel, K=K, T=T, L=L),
+        out_shape=(jax.ShapeDtypeStruct((NT, 8, 2 * K), jnp.float32),
+                   jax.ShapeDtypeStruct((NT, 8, L), jnp.float32)),
+        grid=(NT,),
+        in_specs=[row, row] + [row] * len(planes),
+        out_specs=(pl.BlockSpec((1, 8, 2 * K), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM), row),
+        interpret=interpret,
+    )(r3(coord), r3(alive), *[r3(p) for p in planes])
+    return bufs, alive2.reshape(NT, B)
+
+
+# ---------------------------------------------------------------------------
+# extract (v2, rank array passed in) — kept for B % 8 != 0 layouts
 # ---------------------------------------------------------------------------
 
 def _extract_kernel(rank_ref, alive_ref, *plane_refs_out, K2, CB):
@@ -148,7 +257,85 @@ def extract(rank: jax.Array, alive: jax.Array, planes: Tuple[jax.Array, ...],
 
 # ---------------------------------------------------------------------------
 # merge: place incoming buffer rows at free slots
+#
+# v3 (fused franks): free-slot ranks computed in kernel with the same
+# (8, B/8) blocked scan as extract_fused; arrivals fill the LOWEST free
+# ranks, so sublane rows whose smallest free rank exceeds the arrival
+# count skip their placement matmul (the passthrough write is the HBM
+# floor).
 # ---------------------------------------------------------------------------
+
+def _merge_fused_kernel(alive_ref, inc_ref, *plane_refs_out, K, L):
+    n_pl = (len(plane_refs_out) - 1) // 2
+    plane_refs = plane_refs_out[:n_pl]
+    out_refs = plane_refs_out[n_pl:2 * n_pl]
+    alive_out_ref = plane_refs_out[-1]
+    K2 = 2 * K
+
+    alive = alive_ref[0]                                # (8, L)
+    free = alive <= 0.5
+    fr_incl = _scan_lanes_8(free.astype(jnp.float32))
+    frank = jnp.where(free, fr_incl - 1.0, -1.0)        # (8, L)
+
+    inc = inc_ref[0]                                    # (8, 2K)
+    n_m = jnp.sum(inc[6, :K])
+    n_p = jnp.sum(inc[6, K:])
+    n_arr = n_m + n_p
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (K2, 1), 0).astype(
+        jnp.float32)
+    vrank = jnp.where(iota_s < K, iota_s, iota_s - float(K) + n_m)
+    valid = (((iota_s < K) & (iota_s < n_m))
+             | ((iota_s >= K) & (iota_s - float(K) < n_p)))
+
+    # passthrough first; hit rows are overwritten below
+    for c in range(n_pl):
+        out_refs[c][0] = plane_refs[c][0]
+    alive_out_ref[0] = alive
+
+    for s in range(8):
+        frank_s = frank[s:s + 1, :]                     # (1, L)
+        has = jnp.sum(jnp.where((frank_s >= 0.0) & (frank_s < n_arr),
+                                1.0, 0.0)) > 0.0
+
+        @pl.when(has)
+        def _(s=s, frank_s=frank_s):
+            onehot = ((vrank == frank_s) & valid).astype(jnp.float32)
+            placed = jax.lax.dot_general(
+                inc, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (8, L)
+            hit = placed[6:7, :] > 0.5
+            for c in range(n_pl):
+                out_refs[c][0, s:s + 1, :] = jnp.where(
+                    hit, placed[c:c + 1, :], plane_refs[c][0][s:s + 1, :])
+            alive_out_ref[0, s:s + 1, :] = jnp.where(
+                hit, 1.0, alive[s:s + 1, :])
+
+
+def merge_fused(alive: jax.Array, inc: jax.Array,
+                planes: Tuple[jax.Array, ...], K: int,
+                interpret: bool = False):
+    """alive (NT, B) f32 post-kill, inc (NT, 8, 2K) rolled-in buffers,
+    planes 6x (NT, B); B % 8 == 0.  Free ranks computed in kernel.
+    Returns (planes', alive')."""
+    NT, B = alive.shape
+    L = B // 8
+    row = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    r3 = lambda a: a.reshape(NT, 8, L)
+    n_pl = len(planes)
+    outs = pl.pallas_call(
+        partial(_merge_fused_kernel, K=K, L=L),
+        out_shape=tuple(jax.ShapeDtypeStruct((NT, 8, L), jnp.float32)
+                        for _ in range(n_pl + 1)),
+        grid=(NT,),
+        in_specs=[row,
+                  pl.BlockSpec((1, 8, 2 * K), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + [row] * n_pl,
+        out_specs=tuple([row] * (n_pl + 1)),
+        interpret=interpret,
+    )(r3(alive), inc, *[r3(p) for p in planes])
+    new_planes = tuple(o.reshape(NT, B) for o in outs[:n_pl])
+    return new_planes, outs[n_pl].reshape(NT, B)
 
 def _merge_kernel(act_ref, frank_ref, alive_ref, inc_ref, *plane_refs_out,
                   K, CB):
@@ -249,19 +436,25 @@ def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
     """
     NT, B = alive.shape
     coord = planes[d]
-    al = alive > 0.5
-    lm = al & (coord < 0.0)
-    lp = al & (coord >= float(T))
-    rm = _chunked_cumsum(lm.astype(jnp.float32)).astype(jnp.int32) - 1
-    rp = _chunked_cumsum(lp.astype(jnp.float32)).astype(jnp.int32) - 1
-    rank = jnp.where(lm & (rm < K), rm,
-                     jnp.where(lp & (rp < K), K + rp, -1)).astype(jnp.int32)
-    # overflow leavers (rank >= K) must still die: rank 2K matches no
-    # one-hot column, so they are killed but extracted nowhere (= dropped)
-    kill_only = (lm & (rm >= K)) | (lp & (rp >= K))
-    rank = jnp.where(kill_only, 2 * K, rank)
-
-    bufs, alive2 = extract(rank, alive, planes, 2 * K, interpret=interpret)
+    if B % 8 == 0:
+        bufs, alive2 = extract_fused(coord, alive, planes, K, T,
+                                     interpret=interpret)
+    else:
+        al = alive > 0.5
+        lm = al & (coord < 0.0)
+        lp = al & (coord >= float(T))
+        rm = _chunked_cumsum(lm.astype(jnp.float32)).astype(jnp.int32) - 1
+        rp = _chunked_cumsum(lp.astype(jnp.float32)).astype(jnp.int32) - 1
+        rank = jnp.where(
+            lm & (rm < K), rm,
+            jnp.where(lp & (rp < K), K + rp, -1)).astype(jnp.int32)
+        # overflow leavers (rank >= K) must still die: rank 2K matches no
+        # one-hot column, so they are killed but extracted nowhere
+        # (= dropped)
+        kill_only = (lm & (rm >= K)) | (lp & (rp >= K))
+        rank = jnp.where(kill_only, 2 * K, rank)
+        bufs, alive2 = extract(rank, alive, planes, 2 * K,
+                               interpret=interpret)
 
     # roll to neighbors: minus-going rows arrive at tile-1 along d, plus
     # at tile+1 (periodic), entering in the receiver's local frame
@@ -274,6 +467,11 @@ def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
     shift = jnp.concatenate([jnp.full((K,), float(T), jnp.float32),
                              jnp.full((K,), -float(T), jnp.float32)])
     inc = inc.at[:, d, :].add(jnp.where(inc[:, 6, :] > 0.5, shift, 0.0))
+
+    if B % 8 == 0:
+        new_planes, alive3 = merge_fused(alive2, inc, planes, K,
+                                         interpret=interpret)
+        return new_planes, alive3
 
     free = ~(alive2 > 0.5)
     fr_incl = _chunked_cumsum(free.astype(jnp.float32))
