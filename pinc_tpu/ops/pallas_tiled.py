@@ -58,24 +58,33 @@ from jax.experimental.pallas import tpu as pltpu
 from .tiled import TileSpec
 
 
-def _weights_t(row, P: int, M: int):
-    """row (1, B) tile-local coords -> (P, B) hat weights, node offsets
+def _w1d(d, order: int):
+    """offset row - node -> weight: CIC hat (order 1) or NGP round-half-up
+    indicator (order 0, the reference's ``(int)(pos+0.5)``,
+    src/pusher.c:1164-1178)."""
+    if order == 0:
+        return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _weights_t(row, P: int, M: int, order: int = 1):
+    """row (1, B) tile-local coords -> (P, B) weights, node offsets
     [-M .. T+M] on the sublane axis."""
     b = row.shape[-1]
     nodes = jax.lax.broadcasted_iota(jnp.int32, (P, b), 0)
     nodes = nodes.astype(jnp.float32) - float(M)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(row - nodes))
+    return _w1d(row - nodes, order)
 
 
-def _kron_iota(y_row, z_row, P: int, M: int, dtype):
-    """(1,B) y/z coords -> (P*P, B) kron of hat weights, built purely
+def _kron_iota(y_row, z_row, P: int, M: int, dtype, order: int = 1):
+    """(1,B) y/z coords -> (P*P, B) kron of per-dim weights, built purely
     elementwise against sublane iotas — no cross-sublane data movement."""
     b = y_row.shape[-1]
     j = jax.lax.broadcasted_iota(jnp.int32, (P * P, b), 0)
     yy = (j // P).astype(jnp.float32) - float(M)
     zz = (j % P).astype(jnp.float32) - float(M)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_row - yy))
-    wz = jnp.maximum(0.0, 1.0 - jnp.abs(z_row - zz))
+    wy = _w1d(y_row - yy, order)
+    wz = _w1d(z_row - zz, order)
     return (wy * wz).astype(dtype)
 
 
@@ -97,11 +106,12 @@ def _row_specs(NT: int, B: int, G: int, n: int):
 # ---------------------------------------------------------------------------
 
 def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M,
-                    mxu_dtype, G):
+                    mxu_dtype, G, order=1):
     def tile_body(g, _):
         sl = (pl.ds(g, 1), slice(None))
-        wx = (_weights_t(x_ref[sl], P, M) * val_ref[sl]).astype(mxu_dtype)
-        wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype)
+        wx = (_weights_t(x_ref[sl], P, M, order)
+              * val_ref[sl]).astype(mxu_dtype)
+        wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype, order)
         acc = jax.lax.dot_general(
             wx, wyz, (((1,), (1,)), ((), ())),      # contract lanes, K = B
             preferred_element_type=jnp.float32)
@@ -113,7 +123,7 @@ def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M,
 
 def deposit(xyz: jax.Array, value: jax.Array, ts: TileSpec,
             interpret: bool = False, mxu_dtype=jnp.float32,
-            tiles_per_step: int = 8) -> jax.Array:
+            tiles_per_step: int = 8, order: int = 1) -> jax.Array:
     """xyz (3, NT, B) tile-local coordinate planes f32, value (NT, B)
     charge*alive -> padded tile densities (NT, P, P*P) f32.
 
@@ -130,7 +140,8 @@ def deposit(xyz: jax.Array, value: jax.Array, ts: TileSpec,
     G = _tiles_per_step(NT, tiles_per_step)
 
     out = pl.pallas_call(
-        partial(_deposit_kernel, P=P, M=ts.M, mxu_dtype=mxu_dtype, G=G),
+        partial(_deposit_kernel, P=P, M=ts.M, mxu_dtype=mxu_dtype, G=G,
+                order=order),
         out_shape=jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
         grid=(NT // G,),
         in_specs=_row_specs(NT, B, G, 4),
@@ -157,7 +168,7 @@ def deposit_to_grid(xyz, alive, charge, ts: TileSpec,
 
 def _deposit_move_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
                          alive_ref, out_ref, xo_ref, yo_ref, zo_ref,
-                         nout_ref, *, P, M, T, q, mxu_dtype, G):
+                         nout_ref, *, P, M, T, q, mxu_dtype, G, order=1):
     lo, hi = -float(M), float(T + M)
 
     def tile_body(g, bad_acc):
@@ -172,8 +183,8 @@ def _deposit_move_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
         out = ((x < lo) | (x >= hi) | (y < lo) | (y >= hi)
                | (z < lo) | (z >= hi))
         bad = jnp.where(out, alive, 0.0)
-        wx = (_weights_t(x, P, M) * (alive * q)).astype(mxu_dtype)
-        wyz = _kron_iota(y, z, P, M, mxu_dtype)
+        wx = (_weights_t(x, P, M, order) * (alive * q)).astype(mxu_dtype)
+        wyz = _kron_iota(y, z, P, M, mxu_dtype, order)
         acc = jax.lax.dot_general(
             wx, wyz, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -186,8 +197,9 @@ def _deposit_move_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
 
 def deposit_move(xyz: jax.Array, vel: jax.Array, alive: jax.Array,
                  charge: float, ts: TileSpec, interpret: bool = False,
-                 mxu_dtype=jnp.float32, tiles_per_step: int = 8):
-    """Fused leapfrog drift + CIC deposition for one species.
+                 mxu_dtype=jnp.float32, tiles_per_step: int = 8,
+                 order: int = 1):
+    """Fused leapfrog drift + CIC/NGP deposition for one species.
 
     xyz, vel: (3, NT, B) planes f32; alive: (NT, B) f32 0/1 mask.
     Returns (tiles (NT, P, P*P) charge-weighted, new_xyz (3, NT, B),
@@ -199,7 +211,7 @@ def deposit_move(xyz: jax.Array, vel: jax.Array, alive: jax.Array,
 
     tiles, xo, yo, zo, nout = pl.pallas_call(
         partial(_deposit_move_kernel, P=P, M=ts.M, T=ts.T,
-                q=float(charge), mxu_dtype=mxu_dtype, G=G),
+                q=float(charge), mxu_dtype=mxu_dtype, G=G, order=order),
         out_shape=(jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
                    jax.ShapeDtypeStruct((NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((NT, B), jnp.float32),
@@ -224,15 +236,15 @@ def deposit_move(xyz: jax.Array, vel: jax.Array, alive: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C,
-                   mxu_dtype, G):
+                   mxu_dtype, G, order=1):
     """Per tile:  G_all(C*P, B) = E_all(C*P, P^2) @ wyz(P^2, B) on the MXU
     (all C components stacked along the matmul M-dim), then e_c = sum_x
     wx * G_c — the largest intermediate is the shared (P^2, B) kron."""
     def tile_body(g, _):
         E_all = e_ref[g, :, :, :].reshape(C * P, P * P).astype(mxu_dtype)
         sl = (pl.ds(g, 1), slice(None))
-        wx = _weights_t(x_ref[sl], P, M)             # (P, B)
-        wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype)
+        wx = _weights_t(x_ref[sl], P, M, order)      # (P, B)
+        wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype, order)
         G_all = jax.lax.dot_general(
             E_all, wyz, (((1,), (0,)), ((), ())),    # (C*P, B)
             preferred_element_type=jnp.float32)
@@ -246,7 +258,7 @@ def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C,
 
 def gather(field_pad: jax.Array, xyz: jax.Array, ts: TileSpec,
            interpret: bool = False, mxu_dtype=jnp.float32,
-           tiles_per_step: int = 8) -> jax.Array:
+           tiles_per_step: int = 8, order: int = 1) -> jax.Array:
     """field_pad (NT, P, P, P, C), xyz (3, NT, B) coordinate planes ->
     (C, NT, B) component-major field at the particles (matches the
     plane state layout, so neither side of the call transposes)."""
@@ -259,7 +271,8 @@ def gather(field_pad: jax.Array, xyz: jax.Array, ts: TileSpec,
     # component-major field tiles: (NT, C, P, P^2)
     E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
     out = pl.pallas_call(
-        partial(_gather_kernel, P=P, M=ts.M, C=C, mxu_dtype=mxu_dtype, G=G),
+        partial(_gather_kernel, P=P, M=ts.M, C=C, mxu_dtype=mxu_dtype, G=G,
+                order=order),
         out_shape=jax.ShapeDtypeStruct((C, NT, B), jnp.float32),
         grid=(NT // G,),
         in_specs=[*_row_specs(NT, B, G, 3),
@@ -276,12 +289,18 @@ def gather(field_pad: jax.Array, xyz: jax.Array, ts: TileSpec,
 # Mega-fused step: kick + drift + deposit, ALL species in one kernel
 # ---------------------------------------------------------------------------
 
-def _pic_step_kernel(q_ref, qm_ref, pos_ref, vel_ref, alive_ref, e_ref,
-                     tiles_ref, pos_out_ref, vel_out_ref, ke_ref, nout_ref,
-                     *, P, M, T, C, mxu_dtype, G):
+def _pic_step_kernel(q_ref, qm_ref, tvec_ref, svec_ref, pos_ref, vel_ref,
+                     alive_ref, e_ref, tiles_ref, pos_out_ref, vel_out_ref,
+                     ke_ref, nout_ref, *, P, M, T, C, mxu_dtype, G,
+                     order_acc=1, order_distr=1, e_ext=(0.0, 0.0, 0.0),
+                     boris=False):
     s = pl.program_id(1)
     q = q_ref[0, s]
     qm = qm_ref[0, s]
+    boris_ts = None
+    if boris:
+        boris_ts = ((tvec_ref[0, s], tvec_ref[1, s], tvec_ref[2, s]),
+                    (svec_ref[0, s], svec_ref[1, s], svec_ref[2, s]))
     lo, hi = -float(M), float(T + M)
 
     def tile_body(g, acc):
@@ -293,20 +312,18 @@ def _pic_step_kernel(q_ref, qm_ref, pos_ref, vel_ref, alive_ref, e_ref,
         z = pos_ref[0, 2, gsl, :]
         # gather E at the pre-drift positions (leapfrog kick with E_n(x_n))
         E_all = e_ref[g, :, :, :].reshape(C * P, P * P).astype(mxu_dtype)
-        wx = _weights_t(x, P, M)
-        wyz = _kron_iota(y, z, P, M, mxu_dtype)
+        wx = _weights_t(x, P, M, order_acc)
+        wyz = _kron_iota(y, z, P, M, mxu_dtype, order_acc)
         G_all = jax.lax.dot_general(
             E_all, wyz, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (C*P, B)
-        vdot = jnp.zeros_like(alive)
+        Ecs = [jnp.sum(wx * G_all[c * P:(c + 1) * P, :], axis=0,
+                       keepdims=True) + e_ext[c] for c in range(C)]
+        vs = [vel_ref[0, c, gsl, :] for c in range(3)]
+        vouts, vdot = _kick_rows(vs, Ecs, qm, boris_ts)
         news = []
         for c, pc in enumerate((x, y, z)):
-            Gc = G_all[c * P:(c + 1) * P, :]
-            Ec = jnp.sum(wx * Gc, axis=0, keepdims=True)  # (1, B)
-            dv = (qm * Ec) * alive
-            v = vel_ref[0, c, gsl, :]
-            vn = v + dv
-            vdot = vdot + v * vn
+            vn = vs[c] + alive * (vouts[c] - vs[c])
             vel_out_ref[0, c, gsl, :] = vn
             pn = pc + vn                                  # drift with v_{n+1/2}
             pos_out_ref[0, c, gsl, :] = pn
@@ -315,8 +332,9 @@ def _pic_step_kernel(q_ref, qm_ref, pos_ref, vel_ref, alive_ref, e_ref,
         out = ((nx < lo) | (nx >= hi) | (ny < lo) | (ny >= hi)
                | (nz < lo) | (nz >= hi))
         # deposit at the post-drift positions
-        wxn = (_weights_t(nx, P, M) * (alive * q)).astype(mxu_dtype)
-        wyzn = _kron_iota(ny, nz, P, M, mxu_dtype)
+        wxn = (_weights_t(nx, P, M, order_distr)
+               * (alive * q)).astype(mxu_dtype)
+        wyzn = _kron_iota(ny, nz, P, M, mxu_dtype, order_distr)
         dep = jax.lax.dot_general(
             wxn, wyzn, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -341,9 +359,19 @@ def _pic_step_kernel(q_ref, qm_ref, pos_ref, vel_ref, alive_ref, e_ref,
 def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
              alive: jax.Array, charge, qm_dt, ts: TileSpec,
              interpret: bool = False, mxu_dtype=jnp.float32,
-             tiles_per_step: int = 8):
+             tiles_per_step: int = 8, order_acc: int = 1,
+             order_distr: int = 1, e_ext=None,
+             boris_T=None, boris_S=None):
     """One full leapfrog step for ALL species in a single Pallas kernel:
-    gather E(x_n) -> kick v -> drift x -> CIC-deposit rho_{n+1}.
+    gather E(x_n) -> kick v -> drift x -> CIC/NGP-deposit rho_{n+1}.
+
+    order_acc / order_distr: 1 CIC, 0 NGP (independent, like the
+    reference's separate methods:acc / methods:distr selections).
+    e_ext: optional length-3 external E (floats, species-independent).
+    boris_T / boris_S: optional (S, 3) per-species rotation vectors
+    (puGet3DRotationParameters, src/pusher.c:483-505); when given the
+    kick is the full Boris sequence and vdot is |v_plus|^2 per species
+    (puBoris3D1KE, src/pusher.c:437-482).
 
     The species loop rides the second grid dimension (s innermost), so the
     per-tile density block stays resident in VMEM and accumulates across
@@ -378,8 +406,19 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
         E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
     q_arr = jnp.asarray(charge, jnp.float32).reshape(1, S)
     qm_arr = jnp.asarray(qm_dt, jnp.float32).reshape(1, S)
+    boris = boris_T is not None
+    if boris:
+        t_arr = jnp.asarray(boris_T, jnp.float32).reshape(S, 3).T  # (3, S)
+        s_arr = jnp.asarray(boris_S, jnp.float32).reshape(S, 3).T
+    else:
+        t_arr = jnp.zeros((3, S), jnp.float32)
+        s_arr = jnp.zeros((3, S), jnp.float32)
+    e_ext_t = (0.0, 0.0, 0.0) if e_ext is None else tuple(
+        float(v) for v in e_ext)
     smem = pl.BlockSpec((1, S), lambda i, s: (0, 0),
                         memory_space=pltpu.SMEM)
+    smem3 = pl.BlockSpec((3, S), lambda i, s: (0, 0),
+                         memory_space=pltpu.SMEM)
     svec = pl.BlockSpec((1, 3, G, B), lambda i, s: (s, 0, i, 0),
                         memory_space=pltpu.VMEM)
     srow = pl.BlockSpec((1, G, B), lambda i, s: (s, i, 0),
@@ -389,21 +428,22 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
 
     tiles, pos_o, vel_o, ke, nout = pl.pallas_call(
         partial(_pic_step_kernel, P=P, M=ts.M, T=ts.T, C=C,
-                mxu_dtype=mxu_dtype, G=G),
+                mxu_dtype=mxu_dtype, G=G, order_acc=order_acc,
+                order_distr=order_distr, e_ext=e_ext_t, boris=boris),
         out_shape=(jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
                    jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((S, NI, 1, 128), jnp.float32),
                    jax.ShapeDtypeStruct((S, NI, 1, 128), jnp.float32)),
         grid=(NI, S),
-        in_specs=[smem, smem, svec, svec, srow,
+        in_specs=[smem, smem, smem3, smem3, svec, svec, srow,
                   pl.BlockSpec((G, C, P, P * P), lambda i, s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((G, P, P * P), lambda i, s: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    svec, svec, sacc, sacc),
         interpret=interpret,
-    )(q_arr, qm_arr, lpos, vel, alive, E)
+    )(q_arr, qm_arr, t_arr, s_arr, lpos, vel, alive, E)
     return (tiles, pos_o, vel_o,
             jnp.sum(ke[:, :, 0, 0], axis=1),
             jnp.sum(nout[:, :, 0, 0], axis=1))
@@ -413,26 +453,63 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
 # Fused gather + kick (+ kinetic energy)
 # ---------------------------------------------------------------------------
 
+def _cross_rows(a, b):
+    """cross product of two 3-lists of (1, B) rows (b may be floats)."""
+    return [a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0]]
+
+
+def _kick_rows(vs, Ecs, qm, boris):
+    """Shared velocity-kick arithmetic on (1, B) rows.
+
+    vs: 3 velocity rows; Ecs: 3 gathered+external field rows.
+    boris: None for the plain electrostatic kick, else (T, S) float
+    3-tuples (puGet3DRotationParameters, src/pusher.c:483-505).
+    Returns (new velocity rows [unmasked — caller applies alive],
+    vdot row: v.(v+dv) for leapfrog, |v_plus|^2 for Boris, matching
+    puAcc3D1KE / puBoris3D1KE (src/pusher.c:197-210, 465-471))."""
+    if boris is None:
+        vdot = None
+        outs = []
+        for c in range(3):
+            dv = qm * Ecs[c]
+            vn = vs[c] + dv
+            term = vs[c] * vn
+            vdot = term if vdot is None else vdot + term
+            outs.append(vn)
+        return outs, vdot
+    T, S = boris
+    half = [0.5 * qm * Ecs[c] for c in range(3)]
+    vm = [vs[c] + half[c] for c in range(3)]
+    cr = _cross_rows(vm, T)
+    vpr = [vm[c] + cr[c] for c in range(3)]
+    cr2 = _cross_rows(vpr, S)
+    vpl = [vm[c] + cr2[c] for c in range(3)]
+    outs = [vpl[c] + half[c] for c in range(3)]
+    vdot = vpl[0] * vpl[0] + vpl[1] * vpl[1] + vpl[2] * vpl[2]
+    return outs, vdot
+
+
 def _gather_kick_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
                         alive_ref, e_ref, vxo_ref, vyo_ref, vzo_ref,
-                        ke_ref, *, P, M, C, qm, mxu_dtype, G):
+                        ke_ref, *, P, M, C, qm, mxu_dtype, G, order=1,
+                        e_ext=(0.0, 0.0, 0.0), boris=None):
     def tile_body(g, vdot_acc):
         E_all = e_ref[g, :, :, :].reshape(C * P, P * P).astype(mxu_dtype)
         sl = (pl.ds(g, 1), slice(None))
         alive = alive_ref[sl]
-        wx = _weights_t(x_ref[sl], P, M)
-        wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype)
+        wx = _weights_t(x_ref[sl], P, M, order)
+        wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype, order)
         G_all = jax.lax.dot_general(
             E_all, wyz, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        vdot = jnp.zeros_like(alive)
-        for c, (vref, voref) in enumerate(
-                ((vx_ref, vxo_ref), (vy_ref, vyo_ref), (vz_ref, vzo_ref))):
-            Ec = jnp.sum(wx * G_all[c * P:(c + 1) * P, :], axis=0)
-            dv = (qm * Ec)[None] * alive
-            v = vref[sl]
-            vdot = vdot + v * (v + dv)
-            voref[sl] = v + dv
+        Ecs = [jnp.sum(wx * G_all[c * P:(c + 1) * P, :], axis=0)[None]
+               + e_ext[c] for c in range(C)]
+        vs = [vx_ref[sl], vy_ref[sl], vz_ref[sl]]
+        outs, vdot = _kick_rows(vs, Ecs, qm, boris)
+        for voref, vn, v in zip((vxo_ref, vyo_ref, vzo_ref), outs, vs):
+            voref[sl] = v + alive * (vn - v)
         return vdot_acc + jnp.sum(vdot * alive)
 
     total = jax.lax.fori_loop(0, G, tile_body, jnp.float32(0))
@@ -442,25 +519,34 @@ def _gather_kick_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
 def gather_kick(field_pad: jax.Array, xyz: jax.Array, vel: jax.Array,
                 alive: jax.Array, qm: float, ts: TileSpec,
                 interpret: bool = False, mxu_dtype=jnp.float32,
-                tiles_per_step: int = 8):
-    """Fused CIC field gather + velocity kick + kinetic-energy sum for one
-    species (the KE variant of the reference's accelerators,
-    src/pusher.c:178-214: KE uses v.(v+dv), the half-step-centered
-    product).
+                tiles_per_step: int = 8, order: int = 1,
+                e_ext=None, boris=None):
+    """Fused field gather + velocity kick + kinetic-energy sum for one
+    species (the KE variants of the reference's accelerators:
+    puAcc3D1KE src/pusher.c:178-214 with vdot = v.(v+dv); puBoris3D1KE
+    src/pusher.c:437-482 with vdot = |v_plus|^2).
 
     field_pad (NT, P, P, P, C); xyz, vel (3, NT, B); alive (NT, B) f32.
     qm: q/m * dt (fold any half-kick factor in here — E enters linearly).
-    Returns (new_vel (3, NT, B), vdot_sum scalar = sum alive*v.(v+dv))."""
+    order: 1 CIC / 0 NGP gather.  e_ext: optional 3-tuple of floats added
+    to the gathered field (scale it with any half-kick factor).  boris:
+    optional (T, S) float 3-tuples for the magnetic rotation.
+    Returns (new_vel (3, NT, B), vdot_sum scalar)."""
     assert ts.n_dims == 3
     _, NT, B = xyz.shape
     P = ts.P
     C = field_pad.shape[-1]
     G = _tiles_per_step(NT, tiles_per_step)
+    e_ext_t = (0.0, 0.0, 0.0) if e_ext is None else tuple(
+        float(v) for v in e_ext)
+    boris_t = None if boris is None else (
+        tuple(float(v) for v in boris[0]), tuple(float(v) for v in boris[1]))
 
     E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
     vxo, vyo, vzo, ke = pl.pallas_call(
         partial(_gather_kick_kernel, P=P, M=ts.M, C=C, qm=float(qm),
-                mxu_dtype=mxu_dtype, G=G),
+                mxu_dtype=mxu_dtype, G=G, order=order, e_ext=e_ext_t,
+                boris=boris_t),
         out_shape=(jax.ShapeDtypeStruct((NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((NT, B), jnp.float32),

@@ -125,25 +125,32 @@ def _kick(p: Particles, params: SpeciesParams, Ep: jax.Array,
 def acc_leapfrog(p: Particles, params: SpeciesParams, E: jax.Array,
                  order: int = 1, compute_ke: bool = True,
                  periodic: bool = True,
-                 E_ext: Optional[jax.Array] = None) -> Tuple[Particles, jax.Array]:
-    """CIC/NGP gather + electrostatic kick (puAccND1KE / puAccND0KE)."""
+                 E_ext: Optional[jax.Array] = None,
+                 e_scale: float = 1.0) -> Tuple[Particles, jax.Array]:
+    """CIC/NGP gather + electrostatic kick (puAccND1KE / puAccND0KE).
+
+    e_scale: kick-strength factor for the initialization half kick
+    (src/main.c:184-186 scales the whole E grid by 0.5; the external
+    field must scale with it, so it is applied here rather than folded
+    into the caller's E)."""
     Ep = _gathered_field(E, p, order, periodic)
     if E_ext is not None:
-        Ep = Ep + E_ext
+        Ep = Ep + e_scale * E_ext
     return _kick(p, params, Ep, compute_ke)
 
 
 def acc_boris(p: Particles, params: SpeciesParams, E: jax.Array,
               B_ext: jax.Array, order: int = 1, compute_ke: bool = True,
               periodic: bool = True,
-              E_ext: Optional[jax.Array] = None) -> Tuple[Particles, jax.Array]:
+              E_ext: Optional[jax.Array] = None,
+              e_scale: float = 1.0) -> Tuple[Particles, jax.Array]:
     """Boris rotation with a uniform external B (puBoris3D1[KE],
     src/pusher.c:394-505): half electric kick, magnetic rotation through
     the per-species precomputed T = (q/m) B/2 and S = 2T/(1+T^2), half
-    electric kick.  KE is taken between the half-kicks (time-centered)."""
+    electric kick."""
     Ep = _gathered_field(E, p, order, periodic)
     if E_ext is not None:
-        Ep = Ep + E_ext
+        Ep = Ep + e_scale * E_ext
     qm = (params.charge / params.mass)[:, None, None]
     half = 0.5 * qm * Ep
 
@@ -156,10 +163,10 @@ def acc_boris(p: Particles, params: SpeciesParams, E: jax.Array,
     vel_new = v_plus + half
 
     if compute_ke:
-        # centered energy at integer time: 0.5 m |v(t)|^2 with
-        # v(t) ~ midpoint of the rotation legs
-        v_mid = 0.5 * (v_minus + v_plus)
-        v2 = jnp.sum(v_mid * v_mid, axis=-1)
+        # the reference's convention (src/pusher.c:465-471): KE between
+        # the rotation and the second half kick, 0.5 m |v_plus|^2
+        # (== |v_minus|^2 — the rotation is norm-preserving)
+        v2 = jnp.sum(v_plus * v_plus, axis=-1)
         v2 = jnp.where(p.alive, v2, 0.0)
         ke = 0.5 * params.mass * jnp.sum(v2, axis=1)
     else:
@@ -216,15 +223,18 @@ def _make_acc(order: int, compute_ke: bool, boris: bool):
             E_ext_arr = None
         if boris:
             B3 = B.reshape(1, 1, -1)
-            def acc(p, params, E, periodic=True):
+            def acc(p, params, E, periodic=True, e_scale=1.0):
                 return acc_boris(p, params, E, B3, order=order,
                                  compute_ke=compute_ke, periodic=periodic,
-                                 E_ext=E_ext_arr)
+                                 E_ext=E_ext_arr, e_scale=e_scale)
         else:
-            def acc(p, params, E, periodic=True):
+            def acc(p, params, E, periodic=True, e_scale=1.0):
                 return acc_leapfrog(p, params, E, order=order,
                                     compute_ke=compute_ke, periodic=periodic,
-                                    E_ext=E_ext_arr)
+                                    E_ext=E_ext_arr, e_scale=e_scale)
+        acc.order = order
+        acc.boris = boris
+        acc.E_ext = E_ext_arr
         return acc
     return factory
 
@@ -244,6 +254,7 @@ def _make_distr(order: int):
         def distr(p, params, shape, periodic=True, dtype=jnp.float32):
             return deposit(p, params, shape, order=order,
                            periodic=periodic, dtype=dtype)
+        distr.order = order
         return distr
     return factory
 

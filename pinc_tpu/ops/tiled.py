@@ -199,14 +199,22 @@ def global_positions(lpos: jax.Array, ts: TileSpec) -> jax.Array:
 # Deposition: separable MXU contraction + overlap-add fold
 # ---------------------------------------------------------------------------
 
-def _hat_weights(x: jax.Array, ts: TileSpec) -> jax.Array:
-    """x (..., ) local coords -> (..., P) CIC hat weights over padded nodes
-    [-M .. T+M]."""
+def _hat_weights(x: jax.Array, ts: TileSpec, order: int = 1) -> jax.Array:
+    """x (..., ) local coords -> (..., P) weights over padded nodes
+    [-M .. T+M].  order=1: CIC hat weights; order=0: NGP indicator
+    (nearest node by round-half-up, matching the reference's
+    ``(int)(pos+0.5)``, src/pusher.c:1164-1178).  Out-of-support
+    positions (dead slots parked at -2M-2, margin leavers) get weight 0
+    in both orders."""
     a = jnp.arange(-ts.M, ts.T + ts.M + 1, dtype=x.dtype)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - a))
+    d = x[..., None] - a
+    if order == 0:
+        return ((d >= -0.5) & (d < 0.5)).astype(x.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
-def _deposit_tiles(lpos: jax.Array, value: jax.Array, ts: TileSpec) -> jax.Array:
+def _deposit_tiles(lpos: jax.Array, value: jax.Array, ts: TileSpec,
+                   order: int = 1) -> jax.Array:
     """lpos (NT, B, D), value (NT, B) -> padded tile densities
     (NT, P, ..., P).  Chunked over tiles to bound the wyz intermediate."""
     D = ts.n_dims
@@ -214,7 +222,8 @@ def _deposit_tiles(lpos: jax.Array, value: jax.Array, ts: TileSpec) -> jax.Array
 
     def chunk_fn(args):
         lp, val = args                      # (C, B, D), (C, B)
-        ws = [_hat_weights(lp[..., d], ts) for d in range(D)]  # D x (C,B,P)
+        ws = [_hat_weights(lp[..., d], ts, order)
+              for d in range(D)]            # D x (C,B,P)
         ws[0] = ws[0] * val[..., None]
         if D == 1:
             return jnp.einsum("cbx->cx", ws[0])
@@ -286,11 +295,11 @@ def fold_to_global(tiles: jax.Array, ts: TileSpec, roll_fns=None) -> jax.Array:
 
 
 def deposit_tiled(lpos: jax.Array, alive: jax.Array, charge,
-                  ts: TileSpec) -> jax.Array:
-    """Full tiled CIC deposition for one species: (NT,B,D) local positions
-    -> (grid) charge density."""
+                  ts: TileSpec, order: int = 1) -> jax.Array:
+    """Full tiled CIC/NGP deposition for one species: (NT,B,D) local
+    positions -> (grid) charge density."""
     value = jnp.where(alive, jnp.asarray(charge, jnp.float32), 0.0)
-    tiles = _deposit_tiles(lpos, value, ts)
+    tiles = _deposit_tiles(lpos, value, ts, order)
     return fold_to_global(tiles, ts)
 
 
@@ -366,7 +375,8 @@ def pad_tiles(field: jax.Array, ts: TileSpec, roll_fns=None) -> jax.Array:
 
 
 def gather_tiled_mxu(field_pad: jax.Array, lpos: jax.Array,
-                     ts: TileSpec, chunk: int = 4) -> jax.Array:
+                     ts: TileSpec, chunk: int = 4,
+                     order: int = 1) -> jax.Array:
     """Dense-contraction gather — the transpose of the deposition matmuls.
 
     Per-particle XLA gathers lower to near-serial loops on TPU; instead the
@@ -384,7 +394,7 @@ def gather_tiled_mxu(field_pad: jax.Array, lpos: jax.Array,
 
     def chunk_fn(args):
         lp, F = args                        # (c,B,D), (c,P..P,C)
-        ws = [_hat_weights(lp[..., d], ts) for d in range(D)]
+        ws = [_hat_weights(lp[..., d], ts, order) for d in range(D)]
         if D == 1:
             return jnp.einsum("cbx,cxv->cbv", ws[0], F,
                               preferred_element_type=jnp.float32)
@@ -410,16 +420,22 @@ def gather_tiled_mxu(field_pad: jax.Array, lpos: jax.Array,
 
 
 def gather_tiled(field_pad: jax.Array, lpos: jax.Array,
-                 ts: TileSpec) -> jax.Array:
+                 ts: TileSpec, order: int = 1) -> jax.Array:
     """field_pad (NT, P.., C); lpos (NT, B, D) -> (NT, B, C).
     Standard 2^D-corner CIC gather with tile-local indices (idx = floor
-    (lpos) + M, in [0, P-1])."""
+    (lpos) + M, in [0, P-1]); order=0 reads the nearest node instead
+    (puInterpND0, src/pusher.c:1164-1178)."""
     import itertools
     D = ts.n_dims
+    rows = jnp.arange(ts.NT, dtype=jnp.int32)[:, None]
+    if order == 0:
+        near = jnp.floor(lpos + 0.5).astype(jnp.int32) + ts.M
+        near = jnp.clip(near, 0, ts.P - 1)
+        idx = tuple(near[..., d] for d in range(D))
+        return field_pad[(rows,) + idx]
     base = jnp.floor(lpos).astype(jnp.int32) + ts.M        # (NT,B,D)
     frac = lpos - jnp.floor(lpos)
     base = jnp.clip(base, 0, ts.P - 2)
-    rows = jnp.arange(ts.NT, dtype=jnp.int32)[:, None]
     out = None
     for offs in itertools.product((0, 1), repeat=D):
         idx = tuple(base[..., d] + offs[d] for d in range(D))

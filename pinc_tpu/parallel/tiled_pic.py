@@ -171,10 +171,12 @@ class ShardedTiledSimulation(TiledSimulation):
             if self._backend == "pallas":
                 from ..ops import pallas_tiled as ptl
                 t = ptl.deposit(xyz, value, ln, interpret=interp,
-                                mxu_dtype=self._mxu_dtype)
+                                mxu_dtype=self._mxu_dtype,
+                                order=self._distr_order)
                 t = t.reshape((NTl,) + (ln.P,) * D)
             else:
-                t = tl._deposit_tiles(jnp.moveaxis(xyz, 0, -1), value, ln)
+                t = tl._deposit_tiles(jnp.moveaxis(xyz, 0, -1), value, ln,
+                                      order=self._distr_order)
             tiles = t if tiles is None else tiles + t
         rho = tl.fold_to_global(tiles, ln, roll_fns=roll_fns)
         return rho.astype(self.spec.dtype)
@@ -199,7 +201,8 @@ class ShardedTiledSimulation(TiledSimulation):
             alive = st.alive[s].reshape(NTl, B).astype(jnp.float32)
             t, nxyz, n_o = ptl.deposit_move(
                 xyz, vel, alive, float(charge[s]), ln,
-                interpret=interp, mxu_dtype=self._mxu_dtype)
+                interpret=interp, mxu_dtype=self._mxu_dtype,
+                order=self._distr_order)
             tiles = t if tiles is None else tiles + t
             lposs.append(nxyz.reshape(st.lpos[s].shape))
             n_out = n_out + n_o
@@ -210,14 +213,19 @@ class ShardedTiledSimulation(TiledSimulation):
         return st2, rho.astype(self.spec.dtype), n_out
 
     def _local_kick(self, st, E_local, half: bool):
+        """Per-shard velocity kick with the full method routing
+        (CIC/NGP order, external E, Boris rotation) — mirrors
+        TiledSimulation._kick with psum'd KE."""
         ln = self.ts_local
         D = ln.n_dims
         NTl, B = ln.NT, ln.B
         roll_fns = self._roll_fns()
         E_pad = tl.pad_tiles(E_local, ln, roll_fns=roll_fns)
+        e_scale = 0.5 if half else 1.0
         if half:
             E_pad = 0.5 * E_pad
         qm = self.params.charge / self.params.mass
+        order = self._acc_order
         interp = jax.devices()[0].platform == "cpu"
         if self._backend == "pallas" and not half:
             # fused gather+kick+KE kernel (full-step kicks; the half kick
@@ -231,9 +239,12 @@ class ShardedTiledSimulation(TiledSimulation):
                 xyz = st.lpos[s].reshape(D, NTl, B)
                 vel = st.vel[s].reshape(D, NTl, B)
                 alive = st.alive[s].reshape(NTl, B).astype(jnp.float32)
+                boris = (None if not self._acc_boris else
+                         (tuple(self._boris_T[s]), tuple(self._boris_S[s])))
                 nv, vdot = ptl.gather_kick(
                     ep5, xyz, vel, alive, float(qm[s]), ln,
-                    interpret=interp, mxu_dtype=self._mxu_dtype)
+                    interpret=interp, mxu_dtype=self._mxu_dtype,
+                    order=order, e_ext=self._e_ext, boris=boris)
                 ke = 0.5 * float(np.asarray(self.params.mass)[s]) * vdot
                 for ax in self.ctx.axes:
                     ke = lax.psum(ke, ax)
@@ -245,24 +256,40 @@ class ShardedTiledSimulation(TiledSimulation):
             from ..ops import pallas_tiled as ptl
             ep5 = E_pad.reshape((NTl,) + (ln.P,) * 3 + (E_local.shape[-1],))
             gather = lambda xyz: ptl.gather(ep5, xyz, ln, interpret=interp,
-                                            mxu_dtype=self._mxu_dtype)
+                                            mxu_dtype=self._mxu_dtype,
+                                            order=order)
         else:
             gather = lambda xyz: jnp.moveaxis(tl.gather_tiled_mxu(
-                E_pad, jnp.moveaxis(xyz, 0, -1), ln), -1, 0)
+                E_pad, jnp.moveaxis(xyz, 0, -1), ln, order=order), -1, 0)
         vels, kes = [], []
         for s in range(st.lpos.shape[0]):
             xyz = st.lpos[s].reshape(D, NTl, B)
             alive = st.alive[s].reshape(NTl, B)
             Ep = gather(xyz)                       # (D, NTl, B)
-            dv = qm[s] * Ep
+            if self._e_ext is not None:
+                Ep = Ep + e_scale * jnp.asarray(
+                    self._e_ext, Ep.dtype)[:, None, None]
             vel = st.vel[s].reshape(D, NTl, B)
-            v_dot = jnp.sum(vel * (vel + dv), axis=0)
+            if self._acc_boris:
+                halfk = 0.5 * qm[s] * Ep
+                v_minus = vel + halfk
+                T = jnp.asarray(self._boris_T[s],
+                                jnp.float32)[:, None, None]
+                Sv = jnp.asarray(self._boris_S[s],
+                                 jnp.float32)[:, None, None]
+                v_prime = v_minus + jnp.cross(v_minus, T, axis=0)
+                v_plus = v_minus + jnp.cross(v_prime, Sv, axis=0)
+                v_new = v_plus + halfk
+                v_dot = jnp.sum(v_plus * v_plus, axis=0)
+            else:
+                v_new = vel + qm[s] * Ep
+                v_dot = jnp.sum(vel * v_new, axis=0)
             v_dot = jnp.where(alive, v_dot, 0.0)
             ke = 0.5 * self.params.mass[s] * jnp.sum(v_dot)
             for ax in self.ctx.axes:
                 ke = lax.psum(ke, ax)
             kes.append(ke)
-            vels.append((vel + jnp.where(alive[None], dv, 0.0))
+            vels.append(jnp.where(alive[None], v_new, vel)
                         .reshape(st.vel[s].shape))
         return (TiledState(lpos=st.lpos, vel=jnp.stack(vels),
                            alive=st.alive), jnp.stack(kes))
@@ -536,7 +563,10 @@ class ShardedTiledSimulation(TiledSimulation):
                 stl.lpos.reshape(S, 3, NTl, B),
                 stl.vel.reshape(S, 3, NTl, B),
                 stl.alive.reshape(S, NTl, B), charge, qm, ln,
-                interpret=interp, mxu_dtype=self._mxu_dtype)
+                interpret=interp, mxu_dtype=self._mxu_dtype,
+                order_acc=self._acc_order, order_distr=self._distr_order,
+                e_ext=self._e_ext, boris_T=self._boris_T,
+                boris_S=self._boris_S)
             rho = tl.fold_to_global(
                 tiles.reshape((NTl,) + (P3,) * 3), ln,
                 roll_fns=self._roll_fns()).astype(self.spec.dtype)

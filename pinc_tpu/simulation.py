@@ -164,7 +164,7 @@ class Simulation:
             rho_obj = self.spec.zeros()
         rho, phi, E = self._fields_from_particles(particles)
         particles, ke = self.acc(particles, self.params, 0.5 * E,
-                                 periodic=self._periodic_dims)
+                                 periodic=self._periodic_dims, e_scale=0.5)
         pe = potential_energy(rho, phi)
         return StepOutput(particles, rho, phi, E,
                           Diagnostics(kin_energy=ke, pot_energy=pe,

@@ -65,6 +65,38 @@ class TiledSimulation(Simulation):
                                    for b in self.bc.upper)
 
         nd = self.spec.n_dims
+        # physics-method routing: the tiled kernels honor the SAME deck
+        # selections as the flat path (methods:acc / methods:distr /
+        # fields:EExt / fields:BExt) — the registry closures expose their
+        # static attributes for kernel specialization.  Anything the
+        # kernels cannot express must raise, never silently downgrade.
+        self._acc_order = getattr(self.acc, "order", None)
+        self._acc_boris = getattr(self.acc, "boris", None)
+        self._distr_order = getattr(self.distr, "order", None)
+        if None in (self._acc_order, self._acc_boris, self._distr_order):
+            raise ValueError(
+                "methods:layout=tiled requires a registry accelerator/"
+                "distributor (puAcc*/puBoris*/puDistr*) — got "
+                f"{cfg.get_str('methods:acc')}/{cfg.get_str('methods:distr')}")
+        eext = getattr(self.acc, "E_ext", None)
+        self._e_ext = (None if eext is None else
+                       tuple(float(v) for v in np.asarray(eext).ravel()))
+        if self._acc_boris:
+            if nd != 3:
+                raise ValueError("puBoris3D1* requires grid:nDims=3")
+            # puGet3DRotationParameters (src/pusher.c:483-505):
+            # T = 0.5 (q/m) B_ext, S = 2T / (1 + |T|^2), per species
+            bext = np.asarray(cfg.get_double_arr("fields:bext", nd)
+                              if "fields:bext" in cfg else [0.0] * nd)
+            qm_np = (np.asarray(self.params.charge)
+                     / np.asarray(self.params.mass))
+            T_s = 0.5 * qm_np[:, None] * bext[None, :]          # (S, 3)
+            S_s = 2.0 * T_s / (1.0 + np.sum(T_s * T_s, axis=1,
+                                            keepdims=True))
+            self._boris_T = T_s
+            self._boris_S = S_s
+        else:
+            self._boris_T = self._boris_S = None
         T = cfg.get_int("tiles:tilesize", 8)
         # margin default 1 when the velocity scale allows a re-bucket
         # cadence >= 4: at M=1 (T=8) the P^2=121 weight kron fits ONE
@@ -482,7 +514,8 @@ class TiledSimulation(Simulation):
                                   jnp.asarray(q, jnp.float32), 0.0)
                 t = ptl.deposit(st.lpos[s], value, self.ts,
                                 interpret=interp,
-                                mxu_dtype=self._mxu_dtype)
+                                mxu_dtype=self._mxu_dtype,
+                                order=self._distr_order)
                 tiles = t if tiles is None else tiles + t
             rho = tl.fold_to_global(
                 tiles.reshape((self.ts.NT,) + (self.ts.P,) * 3), self.ts)
@@ -491,7 +524,8 @@ class TiledSimulation(Simulation):
             for s in range(st.lpos.shape[0]):
                 q = float(np.asarray(self.params.charge)[s])
                 r = tl.deposit_tiled(jnp.moveaxis(st.lpos[s], 0, -1),
-                                     st.alive[s], q, self.ts)
+                                     st.alive[s], q, self.ts,
+                                     order=self._distr_order)
                 rho = r if rho is None else rho + r
         return rho.astype(self.spec.dtype)
 
@@ -506,10 +540,18 @@ class TiledSimulation(Simulation):
         return rho, phi, E
 
     def _kick(self, st: TiledState, E: jax.Array, half: bool):
+        """Velocity kick on the tile planes: gather E(x), add any external
+        E, then either the electrostatic kick or the Boris rotation —
+        same method routing as the flat path (puAcc*/puBoris3D1[KE],
+        src/pusher.c:147-505).  half=True is the initialization half kick
+        (src/main.c:184-186): the E *kick* halves (external E included)
+        but the magnetic rotation angle does not."""
         E_pad = tl.pad_tiles(E, self.ts)
+        e_scale = 0.5 if half else 1.0
         if half:
             E_pad = 0.5 * E_pad
         qm = self.params.charge / self.params.mass
+        order = self._acc_order
         # dense-contraction gather: the per-particle XLA gather lowers to a
         # near-serial loop on TPU (measured 315 ms vs 35 ms at 64^3/4.2M);
         # the pallas kernel additionally keeps the intermediates in VMEM
@@ -522,22 +564,44 @@ class TiledSimulation(Simulation):
             ep5 = E_pad.reshape((self.ts.NT,) + (P,) * 3 + (E.shape[-1],))
             gather = lambda xyz: ptl.gather(ep5, xyz, self.ts,
                                             interpret=interp,
-                                            mxu_dtype=self._mxu_dtype)
+                                            mxu_dtype=self._mxu_dtype,
+                                            order=order)
         elif self._gather_mode == "mxu":
             gather = lambda xyz: jnp.moveaxis(tl.gather_tiled_mxu(
-                E_pad, jnp.moveaxis(xyz, 0, -1), self.ts), -1, 0)
+                E_pad, jnp.moveaxis(xyz, 0, -1), self.ts, order=order),
+                -1, 0)
         else:
             gather = lambda xyz: jnp.moveaxis(tl.gather_tiled(
-                E_pad, jnp.moveaxis(xyz, 0, -1), self.ts), -1, 0)
+                E_pad, jnp.moveaxis(xyz, 0, -1), self.ts, order=order),
+                -1, 0)
         vels, kes = [], []
         for s in range(st.lpos.shape[0]):
             Ep = gather(st.lpos[s])                    # (D, NT, B)
-            dv = qm[s] * Ep
-            v_dot = jnp.sum(st.vel[s] * (st.vel[s] + dv), axis=0)
-            v_dot = jnp.where(st.alive[s], v_dot, 0.0)
+            if self._e_ext is not None:
+                Ep = Ep + e_scale * jnp.asarray(
+                    self._e_ext, Ep.dtype)[:, None, None]
+            alive = st.alive[s]
+            v = st.vel[s]
+            if self._acc_boris:
+                halfk = 0.5 * qm[s] * Ep
+                v_minus = v + halfk
+                T = jnp.asarray(self._boris_T[s],
+                                jnp.float32)[:, None, None]
+                Sv = jnp.asarray(self._boris_S[s],
+                                 jnp.float32)[:, None, None]
+                v_prime = v_minus + jnp.cross(v_minus, T, axis=0)
+                v_plus = v_minus + jnp.cross(v_prime, Sv, axis=0)
+                v_new = v_plus + halfk
+                # reference KE convention: 0.5 m |v_plus|^2
+                # (puBoris3D1KE, src/pusher.c:465-471)
+                v_dot = jnp.sum(v_plus * v_plus, axis=0)
+            else:
+                dv = qm[s] * Ep
+                v_new = v + dv
+                v_dot = jnp.sum(v * v_new, axis=0)
+            v_dot = jnp.where(alive, v_dot, 0.0)
             kes.append(0.5 * self.params.mass[s] * jnp.sum(v_dot))
-            vels.append(st.vel[s]
-                        + jnp.where(st.alive[s][None], dv, 0.0))
+            vels.append(jnp.where(alive[None], v_new, v))
         return (TiledState(lpos=st.lpos, vel=jnp.stack(vels),
                            alive=st.alive), jnp.stack(kes))
 
@@ -630,7 +694,8 @@ class TiledSimulation(Simulation):
         for s in range(S):
             t, nxyz, n_o = ptl.deposit_move(
                 st.lpos[s], st.vel[s], alive_f[s], float(charge[s]),
-                self.ts, interpret=interp, mxu_dtype=self._mxu_dtype)
+                self.ts, interpret=interp, mxu_dtype=self._mxu_dtype,
+                order=self._distr_order)
             tiles = t if tiles is None else tiles + t
             new_lpos.append(nxyz)
             n_out = n_out + n_o
@@ -644,9 +709,12 @@ class TiledSimulation(Simulation):
             (self.ts.NT,) + (P,) * 3 + (E.shape[-1],))
         vels, kes = [], []
         for s in range(S):
+            boris = (None if not self._acc_boris else
+                     (tuple(self._boris_T[s]), tuple(self._boris_S[s])))
             nv, vdot = ptl.gather_kick(
                 ep5, new_lpos[s], st.vel[s], alive_f[s], float(qm[s]),
-                self.ts, interpret=interp, mxu_dtype=self._mxu_dtype)
+                self.ts, interpret=interp, mxu_dtype=self._mxu_dtype,
+                order=self._acc_order, e_ext=self._e_ext, boris=boris)
             vels.append(nv)
             kes.append(0.5 * float(mass[s]) * vdot)
         st = TiledState(lpos=jnp.stack(new_lpos), vel=jnp.stack(vels),
@@ -871,7 +939,10 @@ class TiledSimulation(Simulation):
             st, ep5, pe_prev = carry
             tiles, lpos, vel, vdot, _ = ptl.pic_step(
                 ep5, st.lpos, st.vel, st.alive, charge, qm, ts,
-                interpret=interp, mxu_dtype=self._mxu_dtype)
+                interpret=interp, mxu_dtype=self._mxu_dtype,
+                order_acc=self._acc_order, order_distr=self._distr_order,
+                e_ext=self._e_ext, boris_T=self._boris_T,
+                boris_S=self._boris_S)
             rho = tl.fold_to_global(
                 tiles.reshape((ts.NT,) + (ts.P,) * 3),
                 ts).astype(self.spec.dtype)
