@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Copy the three bit-rotted reference sources into build/patched/ with
+the MINIMAL fixes needed to compile at all (the reference HEAD does not
+build: see cbaseline/README.md "Reference bitrot").  The patched copies
+are generated at build time and never committed.
+
+Fixes:
+ * io.c      — add <errno.h> (mpicc pulled it in transitively via MPI
+               headers; our serial shim does not).
+ * pusher.c  — puMove's dead collision block reads an UNINITIALIZED loop
+               counter and calls oParticleCollision with the wrong arity
+               (src/pusher.c:104-111); the only behavior it could ever
+               have is the plain drift, so it becomes the plain drift.
+ * object.c  — two definitions of oParticleCollision (src/object.c:611,
+               662); the first (wrong-arity internals) is removed, the
+               header-matching stub at 662 stays.  A missing forward
+               declaration of oFindNearestSurfaceNodes is added.
+"""
+import pathlib
+import sys
+
+REF = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/root/reference")
+OUT = pathlib.Path(__file__).parent / "build" / "patched"
+OUT.mkdir(parents=True, exist_ok=True)
+
+
+def patch(name, pairs, prepend="", subdir="src"):
+    src = (REF / subdir / name).read_text()
+    for old, new in pairs:
+        assert old in src, f"{name}: anchor not found: {old[:60]!r}"
+        src = src.replace(old, new, 1)
+    (OUT / name).write_text(prepend + src)
+
+
+# the feature macro must precede the first glibc include, and io.c's own
+# "#define _XOPEN_SOURCE 700" sits below our prepended errno.h — repeat
+# it first (identical redefinition is legal)
+patch("io.c", [], prepend="#define _XOPEN_SOURCE 700\n#include <errno.h>\n")
+
+# vendored iniparser 3.1: an all-whitespace line drives `len` to -1 and
+# `line[len]` underflows the stack buffer (iniparser.c:685); harmless
+# by accident under some compilers, UB under others
+patch("iniparser.c", [(
+    "        /* Detect multi-line */\n        if (line[len]=='\\\\') {",
+    "        /* Detect multi-line */\n        if (len>=0 && line[len]=='\\\\') {",
+)], subdir="lib/iniparser/src")
+
+patch("pusher.c", [(
+    "\t\t\tbool collided = false;\n"
+    "\t\t\t//code for particle/object collision, pos[p] += vel[p] if no"
+    " intersection\n"
+    "\t\t\tfor(long int n; n<nColl; n++){\n"
+    "\t\t\t\tif(p == coll[n]){\n"
+    "\t\t\t\t\t\n"
+    "\t\t\t\t\toParticleCollision(pop, obj);\n"
+    "\t\t\t\t\tcollided = true;\n"
+    "\t\t\t\t}\n"
+    "\t\t\t}\n"
+    "\n"
+    "\t\t\tif(!collided){\n"
+    "\t\t\t\tpos[p] += vel[p];\n"
+    "\t\t\t}\n",
+    "\t\t\t/* baseline patch: the collision block read an\n"
+    "\t\t\t * uninitialized counter (bitrot); plain drift */\n"
+    "\t\t\tpos[p] += vel[p];\n")])
+
+patch("object.c", [(
+    """//Moves a particle according to the type of collision, also creates and removes new particles
+void oParticleCollision(Population *pop, Object *obj, long int i){
+
+    void (*collisionType)(Population *);
+
+    pFindCollisionType(pop, obj, i, collisionType);
+
+    collisionType();
+}
+""",
+    """/* baseline patch: duplicate wrong-arity oParticleCollision removed
+ * (the header-matching stub further down stays) */
+"""), (
+    "bool oParticleIntersection(Population *pop, long int particleId,"
+    " Object *obj){",
+    "double *oFindNearestSurfaceNodes(Population *pop, long int particleId,"
+    " Object *obj);\n\nbool oParticleIntersection(Population *pop,"
+    " long int particleId, Object *obj){"
+)])
+
+print(f"patched sources in {OUT}")
