@@ -66,6 +66,10 @@ def load(cfg: PincConfig) -> Tuple[int, Particles, Optional[np.ndarray]]:
     if not path.exists():
         raise FileNotFoundError(f"no checkpoint at {path}")
     with h5py.File(path, "r") as f:
+        if f.attrs.get("layout", "flat") != "flat":
+            raise ValueError(
+                f"{path} is a {f.attrs['layout']!r}-layout checkpoint; "
+                "resume it with the matching methods:layout")
         step = int(f.attrs["step"])
         particles = Particles(
             cell=jnp.asarray(np.asarray(f["cell"])),
@@ -75,3 +79,64 @@ def load(cfg: PincConfig) -> Tuple[int, Particles, Optional[np.ndarray]]:
         rho_obj = np.asarray(f["rho_obj"]) if "rho_obj" in f else None
     msg(STATUS, "checkpoint restored: %s (step %d)", path, step)
     return step, particles, rho_obj
+
+
+def peek_layout(cfg: PincConfig) -> Optional[str]:
+    """Layout tag of the on-disk checkpoint ('flat'/'tiled'), or None if
+    no checkpoint exists."""
+    path = checkpoint_path(cfg)
+    if not path.exists():
+        return None
+    with h5py.File(path, "r") as f:
+        return str(f.attrs.get("layout", "flat"))
+
+
+def save_tiled(cfg: PincConfig, step: int, state,
+               rho_obj: Optional[np.ndarray] = None) -> Path:
+    """Tiled-layout checkpoint: the (S, D, NT, B) component planes are
+    stored verbatim (slot assignment included), so a resumed run replays
+    the original bit-for-bit — converting through the flat Particles
+    layout would re-bucket on restore and reorder the per-tile
+    summation, perturbing the deposit in the last float bit."""
+    path = checkpoint_path(cfg)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.attrs["step"] = int(step)
+        f.attrs["format_version"] = 1
+        f.attrs["layout"] = "tiled"
+        f.create_dataset("lpos", data=np.asarray(state.lpos))
+        f.create_dataset("vel", data=np.asarray(state.vel))
+        f.create_dataset("alive", data=np.asarray(state.alive))
+        if rho_obj is not None:
+            f.create_dataset("rho_obj", data=np.asarray(rho_obj))
+    msg(STATUS, "checkpoint written: %s (step %d, tiled)", path, step)
+    return path
+
+
+def load_tiled(cfg: PincConfig, expect_shape=None):
+    """-> (step, TiledState with flat (S, D, NT, B) axes, rho_obj)."""
+    import jax.numpy as jnp
+    from .tiled_sim import TiledState
+
+    path = checkpoint_path(cfg)
+    if not path.exists():
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    with h5py.File(path, "r") as f:
+        if f.attrs.get("layout", "flat") != "tiled":
+            raise ValueError(
+                f"{path} is a {f.attrs.get('layout', 'flat')!r}-layout "
+                "checkpoint; resume it with the matching methods:layout")
+        step = int(f.attrs["step"])
+        lpos = np.asarray(f["lpos"])
+        if expect_shape is not None and lpos.shape != tuple(expect_shape):
+            raise ValueError(
+                f"checkpoint state shape {lpos.shape} != deck-derived "
+                f"{tuple(expect_shape)} — the [tiles] section (tileSize/"
+                "margin/slack) or the population capacity changed since "
+                "the checkpoint was written")
+        state = TiledState(lpos=jnp.asarray(lpos),
+                           vel=jnp.asarray(np.asarray(f["vel"])),
+                           alive=jnp.asarray(np.asarray(f["alive"])))
+        rho_obj = np.asarray(f["rho_obj"]) if "rho_obj" in f else None
+    msg(STATUS, "checkpoint restored: %s (step %d, tiled)", path, step)
+    return step, state, rho_obj

@@ -57,6 +57,7 @@ class TiledState:
 class TiledSimulation(Simulation):
     _DEFER_PARTICLES = True    # rebucket from per-species regeneration at
                                # giant populations (see Simulation.__init__)
+    _TILED_CKPT = True         # resumes tiled-layout checkpoints verbatim
 
     def __init__(self, cfg: PincConfig, seed: int = 1):
         super().__init__(cfg, seed=seed)
@@ -214,7 +215,20 @@ class TiledSimulation(Simulation):
                 int(self._obj_tiles.shape[0]), self.ts.NT)
 
         self._capacity = cap_all
-        if self.particles is None:
+        if self._pending_tiled_resume:
+            # restore the tile planes verbatim (checkpoint.save_tiled):
+            # slot assignment included, so the resumed trajectory is
+            # bit-identical to the uninterrupted one
+            from . import checkpoint as _ckpt
+            step, st, rho_obj = _ckpt.load_tiled(
+                cfg, expect_shape=(len(vmax_s), nd, self.ts.NT, self.ts.B))
+            self.state = st
+            if rho_obj is not None:
+                self.rho_obj = jnp.asarray(rho_obj)
+            self.start_step = step
+            self._resumed = True
+            self.particles = None
+        elif self.particles is None:
             # deferred flat init (see Simulation.__init__): regenerate
             # each species on device right before bucketing it — the
             # flat (S, cap, D) arrays never coexist with the tiled state.
@@ -429,21 +443,58 @@ class TiledSimulation(Simulation):
                          alive=st.alive.reshape(S, N) > 0.5)
 
     # --------------------------------------------------------------- step
-    def _absorb(self, st: TiledState):
+    def _collision_type(self, s: int) -> str:
+        ct = self.objects.collision_types
+        return ct[s] if s < len(ct) else "absorb"
+
+    def _collide_tile_planes(self, lp, vl, al, origins, method, valid=None):
+        """Collision response on near-object tile planes: lp/vl (D, NTo,
+        B) tile-local, origins (NTo, D) global tile origins (device
+        offset included on the sharded path).  Positions move by the
+        WRAPPED displacement so tile-local coordinates stay near their
+        bucket even when the global position wrapped."""
+        from .objects import collide_segments
+        obj = self.objects
+        Lf = jnp.asarray(self.ts.grid, jnp.float32)
+        Li = jnp.asarray(self.ts.grid, jnp.int32)
+        g = jnp.mod(lp + origins.T[:, :, None], Lf[:, None, None])
+        pos = jnp.moveaxis(g, 0, -1)                      # (NTo, B, D)
+        vel = jnp.moveaxis(vl, 0, -1)
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, Li - 1)
+        oid = obj.interior_id[cell[..., 0], cell[..., 1], cell[..., 2]]
+        hit = (al > 0.5) & (oid > 0)
+        if valid is not None:
+            hit = hit & valid
+        pos2, vel2, _ = collide_segments(pos, vel, hit, obj.interior_id,
+                                         obj.normals, self.ts.grid, method)
+        delta = jnp.mod(pos2 - pos + 0.5 * Lf, Lf) - 0.5 * Lf
+        return lp + jnp.moveaxis(delta, -1, 0), jnp.moveaxis(vel2, -1, 0)
+
+    def _absorb(self, st: TiledState, collide: bool = True):
         """Object absorption on the static near-object tile subset (the
-        particle half of oCollectObjectCharge, src/object.c:460-515).
-        Returns (state with absorbed particles dead, per-object absorbed
-        charge counter)."""
+        particle half of oCollectObjectCharge, src/object.c:460-515),
+        preceded by the per-species reflect/backscatter responses where
+        the deck selects them (objects:collisionType).  collide=False is
+        the init-time cull (src/main.c:161-166): interior particles are
+        removed outright, no response.  Returns (state with absorbed
+        particles dead, per-object absorbed charge counter)."""
         obj = self.objects
         idx = self._obj_tiles
         origins = tl.tile_origins(self.ts)[idx]           # (NTo, D)
+        origins_f = origins.astype(jnp.float32)
         Lf = jnp.asarray(self.ts.grid, jnp.float32)
         Li = jnp.asarray(self.ts.grid, jnp.int32)
         counter = jnp.zeros((obj.n_objects + 1,), jnp.float32)
-        alive = st.alive
+        lpos, vel, alive = st.lpos, st.vel, st.alive
         for s in range(st.lpos.shape[0]):
-            lp = st.lpos[s][:, idx, :]                    # (D, NTo, B)
+            lp = lpos[s][:, idx, :]                       # (D, NTo, B)
             al = alive[s][idx]                            # (NTo, B) f32
+            m = self._collision_type(s) if collide else "absorb"
+            if m != "absorb":
+                lp, vl = self._collide_tile_planes(
+                    lp, vel[s][:, idx, :], al, origins_f, m)
+                lpos = lpos.at[s].set(lpos[s].at[:, idx].set(lp))
+                vel = vel.at[s].set(vel[s].at[:, idx].set(vl))
             g = jnp.mod(lp + origins.T[:, :, None], Lf[:, None, None])
             cell = jnp.clip(jnp.floor(g).astype(jnp.int32), 0,
                             Li[:, None, None] - 1)
@@ -456,7 +507,7 @@ class TiledSimulation(Simulation):
                 num_segments=obj.n_objects + 1)
             alive = alive.at[s, idx].set(
                 jnp.where(absorbed, 0.0, al))
-        return TiledState(lpos=st.lpos, vel=st.vel, alive=alive), counter
+        return TiledState(lpos=lpos, vel=vel, alive=alive), counter
 
     def _spread_obj_charge(self, rho_obj, counter):
         """Spread per-object absorbed charge over surface nodes (the grid
@@ -497,7 +548,7 @@ class TiledSimulation(Simulation):
     def _tiled_half_kick_obj(self, st: TiledState):
         """Initialization with objects: cull interior particles (charge
         discarded, src/main.c:161-166), then the ordinary half kick."""
-        st, _ = self._absorb(st)
+        st, _ = self._absorb(st, collide=False)
         st, rho, phi, E, diag = self._tiled_half_kick(st)
         return st, rho, phi, E, diag
 
@@ -724,25 +775,75 @@ class TiledSimulation(Simulation):
             kin_energy=jnp.stack(kes), pot_energy=pe,
             n_lost=n_out.astype(jnp.int32))
 
+    def _flat_state(self, st: TiledState) -> TiledState:
+        """Normalize to flat (S, D, NT, B) axes (the sharded subclass
+        keeps tile-grid axes unflattened)."""
+        S, D = st.lpos.shape[:2]
+        B = st.lpos.shape[-1]
+        return TiledState(lpos=st.lpos.reshape(S, D, -1, B),
+                          vel=st.vel.reshape(S, D, -1, B),
+                          alive=st.alive.reshape(S, -1, B))
+
+    def _assert_invariants_tiled(self, st: TiledState, rho, n: int,
+                                 max_vel: float) -> None:
+        """methods:debug guards on the tiled state — the same invariants
+        as Simulation._assert_invariants (pVelAssertMax /
+        pPosAssertInLocalFrame / gAssertNeutralGrid,
+        src/population.c:316-365, src/grid.c:862-869) without converting
+        to the flat layout."""
+        from .utils.logging import ERROR
+        stf = self._flat_state(st)
+        alive = np.asarray(stf.alive) > 0.5              # (S, NT, B)
+        if max_vel > 0.0:
+            vel = np.abs(np.asarray(stf.vel))            # (S, D, NT, B)
+            vmax = float(vel.max(axis=1)[alive].max()) if alive.any() else 0.0
+            if vmax > max_vel:
+                msg(ERROR, "step %d: particle speed %g exceeds "
+                    "population:maxVel=%g", n, vmax, max_vel)
+        lo, hi = -float(self.ts.M), float(self.ts.T + self.ts.M)
+        lpos = np.asarray(stf.lpos)
+        bad = ((lpos < lo) | (lpos >= hi)).any(axis=1) & alive
+        if bad.any():
+            msg(ERROR, "step %d: %d particle(s) outside the tile margin "
+                "[%g, %g)", n, int(bad.sum()), lo, hi)
+        if self.spec.periodic and self.objects is None:
+            rho_np = np.asarray(rho)
+            mean = float(rho_np.mean())
+            counts = alive.sum(axis=(1, 2))
+            gross = float(np.sum(np.abs(np.asarray(self.params.charge))
+                                 * counts)) / self.spec.global_volume + 1e-30
+            if abs(mean) > 1e-4 * gross:
+                msg(ERROR, "step %d: grid not charge-neutral (mean %g vs "
+                    "gross charge density %g)", n, mean, gross)
+
     # ---------------------------------------------------------------- run
     def run(self, writer=None, progress_every: int = 10):
         import time
         t_start = time.monotonic()
         objects = self.objects is not None
-        rho_obj = self.spec.zeros() if objects else None
+        debug = self.cfg.get_bool("methods:debug", False)
+        max_vel = self.cfg.get_double("population:maxvel", 0.0)
         obj_phi = None
-        if objects:
-            st, rho, phi, E, diag = self._thalf_obj_jit(self.state)
+        ke_hist, pe_hist = [], []
+        if self._resumed:
+            # velocities already staggered a half step behind positions in
+            # the checkpoint; do not re-kick (mirrors Simulation.run)
+            st = self.state
+            rho_obj = (jnp.asarray(self.rho_obj) if objects else None)
         else:
-            st, rho, phi, E, diag = self._thalf_jit(self.state)
-        ke_hist = [np.asarray(diag.kin_energy)]
-        pe_hist = [float(diag.pot_energy)]
-        if writer is not None:
-            out = StepOutput(self.to_particles(st), rho, phi, E, diag,
-                             rho_obj=rho_obj)
-            writer.write_step(0, out)
-            writer.write_energy(0, ke_hist[0], pe_hist[0])
-        for n in range(1, self.n_time_steps + 1):
+            rho_obj = self.spec.zeros() if objects else None
+            if objects:
+                st, rho, phi, E, diag = self._thalf_obj_jit(self.state)
+            else:
+                st, rho, phi, E, diag = self._thalf_jit(self.state)
+            ke_hist.append(np.asarray(diag.kin_energy))
+            pe_hist.append(float(diag.pot_energy))
+            if writer is not None:
+                out = StepOutput(self.to_particles(st), rho, phi, E, diag,
+                                 rho_obj=rho_obj)
+                writer.write_step(0, out)
+                writer.write_energy(0, ke_hist[0], pe_hist[0])
+        for n in range(self.start_step + 1, self.n_time_steps + 1):
             if objects:
                 (st, rho, phi, E, diag, rho_obj,
                  obj_phi) = self._tstep_obj_jit(st, rho_obj)
@@ -770,6 +871,11 @@ class TiledSimulation(Simulation):
                                  rho_obj=rho_obj, obj_potential=obj_phi)
                 writer.write_step(n, out)
                 writer.write_energy(n, ke, pe)
+            if debug:
+                self._assert_invariants_tiled(st, rho, n, max_vel)
+            if self.checkpoint_every and n % self.checkpoint_every == 0:
+                from . import checkpoint as _ckpt
+                _ckpt.save_tiled(self.cfg, n, self._flat_state(st), rho_obj)
             if progress_every and n % progress_every == 0:
                 msg(STATUS, "Computing time-step %i (KE=%g PE=%g)",
                     n, ke.sum(), pe)
@@ -782,7 +888,13 @@ class TiledSimulation(Simulation):
         if objects:
             self.last_rho_obj = rho_obj
             self.last_obj_potential = obj_phi
-        return {"kinetic": np.stack(ke_hist), "potential": np.asarray(pe_hist),
+        if self.checkpoint_every:
+            from . import checkpoint as _ckpt
+            _ckpt.save_tiled(self.cfg, self.n_time_steps,
+                             self._flat_state(st), rho_obj)
+        ke_arr = (np.stack(ke_hist) if ke_hist
+                  else np.zeros((0, st.lpos.shape[0])))
+        return {"kinetic": ke_arr, "potential": np.asarray(pe_hist),
                 "wall_time": wall}
 
     def _rebucket_schedule(self, n: int):
