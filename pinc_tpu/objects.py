@@ -84,6 +84,90 @@ def find_surface(domain: np.ndarray, n_objects: int) -> np.ndarray:
     return np.stack(out)
 
 
+def surface_normals(interior_any: np.ndarray) -> np.ndarray:
+    """Outward unit normal field on the grid: -grad of the box-smoothed
+    interior indicator, normalized (zero where degenerate).
+
+    TPU-native replacement for the reference's per-particle
+    oFindNearestSurfaceNodes + cross-product normal (src/object.c:623-633,
+    never finished): one dense precomputed (*L, D) field, sampled with a
+    single gather per colliding particle."""
+    D = interior_any.ndim
+    f = interior_any.astype(np.float64)
+    sm = np.zeros_like(f)
+    for offs in itertools.product((-1, 0, 1), repeat=D):
+        sm += np.roll(f, offs, axis=tuple(range(D)))
+    sm /= 3.0 ** D
+    grad = np.stack(np.gradient(sm), axis=-1)
+    n = -grad
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return np.where(norm > 1e-9, n / np.maximum(norm, 1e-9),
+                    0.0).astype(np.float32)
+
+
+#: collision responses; 'absorb' is the charge-collecting kill (the
+#: reference's only working behavior); reflect/backscatter implement the
+#: machinery the reference stubbed (pReflect/pBackscatter,
+#: src/population.c:468-495)
+COLLISION_TYPES = ("absorb", "reflect", "backscatter")
+
+
+def collide_segments(pos: jax.Array, vel: jax.Array, hit: jax.Array,
+                     interior_id: jax.Array, normals: jax.Array,
+                     L, method: str, n_bisect: int = 10):
+    """Vectorized trajectory-surface collision for particles whose move
+    landed inside an object (``hit``): find the surface crossing of the
+    segment [pos - vel, pos] by bisection (the reference's intended
+    oFindIntersectPoint, src/object.c:638-660, made data-parallel — no
+    vicinity lists, no planes), then apply the response:
+
+    * ``reflect``: specular, v' = v - 2 (v.n) n at the intersection, the
+      remaining travel (1 - t) continues along v' — energy conserving.
+    * ``backscatter``: v' = -v, retracing the incoming path.
+
+    pos/vel: (..., D) global coordinates (pos AFTER the move).  Returns
+    (pos', vel', failed) where ``failed`` marks hits the response could
+    not push back outside (corner starts, tangential normals) — the
+    caller absorbs those like the reference's default.
+    """
+    Lf = jnp.asarray(L, pos.dtype)
+    Li = jnp.asarray(L, jnp.int32)
+
+    def interior(x):
+        c = jnp.floor(jnp.mod(x, Lf)).astype(jnp.int32)
+        c = jnp.clip(c, 0, Li - 1)
+        return interior_id[tuple(jnp.moveaxis(c, -1, 0))] > 0
+
+    prev = pos - vel
+    # bisection on t in [0, 1]: prev (t=0) outside, pos (t=1) inside;
+    # fixed iteration count keeps the whole search in registers
+    lo = jnp.zeros(pos.shape[:-1], pos.dtype)
+    hi = jnp.ones(pos.shape[:-1], pos.dtype)
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        inside = interior(prev + mid[..., None] * vel)
+        lo = jnp.where(inside, lo, mid)
+        hi = jnp.where(inside, mid, hi)
+    t = lo                                      # just outside the surface
+    x_int = prev + t[..., None] * vel
+    cell = jnp.clip(jnp.floor(jnp.mod(x_int, Lf)).astype(jnp.int32),
+                    0, Li - 1)
+    n = normals[tuple(jnp.moveaxis(cell, -1, 0))]          # (..., D)
+    if method == "reflect":
+        vn = jnp.sum(vel * n, axis=-1, keepdims=True)
+        v_new = vel - 2.0 * vn * n
+    elif method == "backscatter":
+        v_new = -vel
+    else:
+        raise ValueError(f"unknown collision response {method!r}")
+    pos_new = x_int + (1.0 - t)[..., None] * v_new
+    failed = hit & interior(pos_new)
+    ok = hit & ~failed
+    pos_out = jnp.where(ok[..., None], jnp.mod(pos_new, Lf), pos)
+    vel_out = jnp.where(ok[..., None], v_new, vel)
+    return pos_out, vel_out, failed
+
+
 @dataclass
 class ObjectSystem:
     """Static object data + jit-closable apply/collect operators."""
@@ -95,11 +179,18 @@ class ObjectSystem:
     inv_cap: List[jax.Array]            # per object: (Ns_a, Ns_a) C = A^-1
     cap_sum: List[float]                # per object: 1 / sum(C)
     shape: Tuple[int, ...]
+    normals: Optional[jax.Array] = None          # (*L, D) outward normals
+    collision_types: Tuple[str, ...] = ()        # per species response
+
+    @property
+    def has_collisions(self) -> bool:
+        return any(m != "absorb" for m in self.collision_types)
 
     # ------------------------------------------------------------- factory
     @classmethod
     def build(cls, domain: np.ndarray, solver, dtype=jnp.float32,
-              periodic: bool = True, batch: int = 16) -> "ObjectSystem":
+              periodic: bool = True, batch: int = 16,
+              collision_types: Sequence[str] = ()) -> "ObjectSystem":
         shape = domain.shape
         ids = np.rint(domain).astype(np.int32)
         n_objects = int(ids.max())
@@ -126,10 +217,18 @@ class ObjectSystem:
             surface_idx.append(idx)
             inv_cap.append(jnp.asarray(C.astype(np.float32)))
             cap_sum.append(1.0 / float(C.sum()))
+        collision_types = tuple(collision_types)
+        for m in collision_types:
+            if m not in COLLISION_TYPES:
+                raise ValueError(
+                    f"objects:collisionType {m!r} not in {COLLISION_TYPES}")
+        norm = (jnp.asarray(surface_normals(interior_id > 0))
+                if any(m != "absorb" for m in collision_types) else None)
         return cls(domain=domain, n_objects=n_objects,
                    interior_id=jnp.asarray(interior_id),
                    surface_idx=surface_idx, inv_cap=inv_cap,
-                   cap_sum=cap_sum, shape=tuple(shape))
+                   cap_sum=cap_sum, shape=tuple(shape),
+                   normals=norm, collision_types=collision_types)
 
     @staticmethod
     def _potential_matrix(idx: np.ndarray, shape, solver, dtype,
@@ -162,6 +261,37 @@ class ObjectSystem:
         return A
 
     # -------------------------------------------------------------- runtime
+    def collide(self, p: Particles,
+                params: SpeciesParams) -> Tuple[Particles, jax.Array]:
+        """Apply the per-species collision response to particles whose
+        move ended inside an object (the working version of
+        oParticleCollision, src/object.c:611-665).  Species with
+        'absorb' are untouched — collect_charge kills them next, as are
+        response failures (returned count).  Call after the move, before
+        collect_charge."""
+        S, cap, D = p.cell.shape
+        L = self.shape
+        cell, frac, vel = p.cell, p.frac, p.vel
+        n_failed = jnp.zeros((), jnp.int32)
+        for s in range(S):
+            m = (self.collision_types[s]
+                 if s < len(self.collision_types) else "absorb")
+            if m == "absorb":
+                continue
+            pos = cell[s].astype(jnp.float32) + frac[s]
+            node = tuple(cell[s][..., d] for d in range(D))
+            hit = p.alive[s] & (self.interior_id[node] > 0)
+            pos2, vel2, failed = collide_segments(
+                pos, vel[s], hit, self.interior_id, self.normals, L, m)
+            c2 = jnp.floor(pos2).astype(jnp.int32)
+            cell = cell.at[s].set(jnp.where(hit[..., None], c2, cell[s]))
+            frac = frac.at[s].set(jnp.where(hit[..., None], pos2 - c2,
+                                            frac[s]))
+            vel = vel.at[s].set(vel2)
+            n_failed = n_failed + jnp.sum(failed).astype(jnp.int32)
+        return (Particles(cell=cell, frac=frac, vel=vel, alive=p.alive),
+                n_failed)
+
     def collect_charge(self, p: Particles, params: SpeciesParams,
                        rho_obj: jax.Array) -> Tuple[Particles, jax.Array]:
         """oCollectObjectCharge (src/object.c:460-515): absorb particles
@@ -264,6 +394,12 @@ def from_config(cfg: PincConfig, spec, solver) -> Optional[ObjectSystem]:
     key is ``objects:objects`` (or legacy ``files:objects``), reference
     bepiColombo.ini:46; entries that are not .h5 files are ignored like the
     reference's placeholder sphere.txt entries."""
+    ns = cfg.get_int("population:nspecies", 0)
+    if "objects:collisiontype" in cfg:
+        ctypes = tuple(c.strip().lower()
+                       for c in cfg.get_str_arr("objects:collisiontype", ns))
+    else:
+        ctypes = ("absorb",) * ns
     for key in ("objects:objects", "files:objects"):
         if key in cfg:
             for name in cfg.get_str_arr(key):
@@ -275,5 +411,6 @@ def from_config(cfg: PincConfig, spec, solver) -> Optional[ObjectSystem]:
                             f"deck global size {spec.global_size}")
                     return ObjectSystem.build(domain, solver,
                                               dtype=spec.dtype,
-                                              periodic=spec.periodic)
+                                              periodic=spec.periodic,
+                                              collision_types=ctypes)
     return None

@@ -384,11 +384,22 @@ class ShardedTiledSimulation(TiledSimulation):
         Li = jnp.asarray(self.ts.grid, jnp.int32)
         S = stl.lpos.shape[0]
         counter = jnp.zeros((obj.n_objects + 1,), jnp.float32)
-        alive = stl.alive
+        lpos, vel, alive = stl.lpos, stl.vel, stl.alive
         ash = alive[0].shape
+        psh = lpos[0].shape
         for s in range(S):
-            lp = stl.lpos[s].reshape(D, NTl, B)[:, idxc, :]
+            lp = lpos[s].reshape(D, NTl, B)[:, idxc, :]
             al = alive[s].reshape(NTl, B)[idxc]          # (NTo, B)
+            m = self._collision_type(s)
+            if m != "absorb":
+                vl = vel[s].reshape(D, NTl, B)[:, idxc, :]
+                lp, vl = self._collide_tile_planes(
+                    lp, vl, al, origins + off[None, :], m,
+                    valid=valid[:, None])
+                lpos = lpos.at[s].set(lpos[s].reshape(D, NTl, B)
+                                      .at[:, widx].set(lp).reshape(psh))
+                vel = vel.at[s].set(vel[s].reshape(D, NTl, B)
+                                    .at[:, widx].set(vl).reshape(psh))
             g = jnp.mod(lp + origins.T[:, :, None] + off[:, None, None],
                         Lf[:, None, None])
             cell = jnp.clip(jnp.floor(g).astype(jnp.int32), 0,
@@ -405,7 +416,7 @@ class ShardedTiledSimulation(TiledSimulation):
                 alive[s].reshape(NTl, B).at[widx].set(new_al).reshape(ash))
         for ax in self.ctx.axes:
             counter = _lax.psum(counter, ax)
-        return TiledState(lpos=stl.lpos, vel=stl.vel, alive=alive), counter
+        return TiledState(lpos=lpos, vel=vel, alive=alive), counter
 
     def _tiled_step_obj(self, st: TiledState, rho_obj):
         """Sharded-tiled object step: same sequence as the single-chip

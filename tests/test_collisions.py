@@ -1,0 +1,207 @@
+"""Object collision machinery: vicinity-free trajectory intersection with
+reflect and backscatter responses — the working version of the reference's
+half-finished oVicinityParticles / oFindParticleCollisions /
+oFindIntersectPoint (src/object.c:526-660) and the pReflect/pBackscatter
+stubs (src/population.c:468-495).  VERDICT item 6 acceptance: a sphere
+deck where reflected particles conserve energy and no particle penetrates
+the surface, on flat + tiled."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinc_tpu.config import PincConfig
+from pinc_tpu.objects import (ObjectSystem, collide_segments, make_box,
+                              make_sphere, save_domain, surface_normals)
+from pinc_tpu.simulation import Simulation
+from pinc_tpu.solvers.spectral import SpectralSolver
+
+
+def test_surface_normals_sphere():
+    """The precomputed normal field points radially outward on a sphere."""
+    L = 24
+    dom = make_sphere((L,) * 3, (12, 12, 12), 5.0)
+    n = surface_normals(dom > 0.5)
+    # sample nodes just outside the surface along +x
+    v = n[18, 12, 12]
+    assert v[0] > 0.9 and abs(v[1]) < 0.2 and abs(v[2]) < 0.2
+    v = n[12, 12, 6]
+    assert v[2] < -0.9
+
+
+def test_collide_segments_reflect_plane():
+    """Specular reflection off a plane wall: the normal component flips,
+    tangential components and speed are conserved, and the particle ends
+    outside."""
+    L = 16
+    dom = make_box((L,) * 3, (0, 0, 10), (L - 1, L - 1, L - 1))
+    interior_id = jnp.asarray((np.rint(dom) > 0.5).astype(np.int32))
+    normals = jnp.asarray(surface_normals(np.rint(dom) > 0.5))
+
+    pos = jnp.asarray([[5.0, 5.0, 10.3]])      # after the move: inside
+    vel = jnp.asarray([[0.2, -0.1, 0.8]])
+    hit = jnp.asarray([True])
+    p2, v2, failed = collide_segments(pos, vel, hit, interior_id, normals,
+                                      (L,) * 3, "reflect")
+    p2, v2 = np.asarray(p2)[0], np.asarray(v2)[0]
+    assert not bool(failed[0])
+    assert v2[2] == pytest.approx(-0.8, abs=1e-5)
+    assert v2[0] == pytest.approx(0.2, abs=1e-5)
+    assert v2[1] == pytest.approx(-0.1, abs=1e-5)
+    assert p2[2] < 10.0
+    # energy conserving
+    assert np.linalg.norm(v2) == pytest.approx(
+        float(jnp.linalg.norm(vel)), rel=1e-6)
+
+
+def test_collide_segments_backscatter():
+    L = 16
+    dom = make_box((L,) * 3, (0, 0, 10), (L - 1, L - 1, L - 1))
+    interior_id = jnp.asarray((np.rint(dom) > 0.5).astype(np.int32))
+    normals = jnp.asarray(surface_normals(np.rint(dom) > 0.5))
+    pos = jnp.asarray([[5.0, 5.0, 10.4]])
+    vel = jnp.asarray([[0.3, 0.0, 0.9]])
+    p2, v2, failed = collide_segments(pos, vel, jnp.asarray([True]),
+                                      interior_id, normals, (L,) * 3,
+                                      "backscatter")
+    assert not bool(failed[0])
+    np.testing.assert_allclose(np.asarray(v2)[0], [-0.3, 0.0, -0.9],
+                               atol=1e-6)
+    assert np.asarray(p2)[0, 2] < 10.0
+
+
+def test_collide_segments_miss_untouched():
+    """Particles not flagged as hits pass through unchanged."""
+    L = 16
+    dom = make_sphere((L,) * 3, (8, 8, 8), 3.0)
+    interior_id = jnp.asarray((np.rint(dom) > 0.5).astype(np.int32))
+    normals = jnp.asarray(surface_normals(np.rint(dom) > 0.5))
+    pos = jnp.asarray([[1.0, 1.0, 1.0]])
+    vel = jnp.asarray([[0.5, 0.0, 0.0]])
+    p2, v2, failed = collide_segments(pos, vel, jnp.asarray([False]),
+                                      interior_id, normals, (L,) * 3,
+                                      "reflect")
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(pos))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(vel))
+
+
+SPHERE_DECK = """
+[objects]
+objects = {path}
+collisionType = {ctype},{ctype}
+[time]
+nTimeSteps = {steps}
+timeStep = 0.2
+[grid]
+nDims = 3
+nSubdomains = 1,1,1
+trueSize = 16,16,16
+stepSize = 1
+boundaries = PERIODIC
+[population]
+nSpecies = 2
+nParticles = 8 pc
+nAlloc = 8 pc
+charge = -1,1
+mass = 1,100
+multiplicity = auto
+thermalVelocity = 0.2,0.05
+[methods]
+mode = regular
+poisson = sSolve
+acc = puAcc3D1KE
+distr = puDistr3D1
+migrate = puExtractEmigrantsND
+{extra}
+"""
+
+
+def _sphere_cfg(tmp_path, ctype, steps=10, extra=""):
+    L = 16
+    dom = make_sphere((L,) * 3, (8, 8, 8), 2.5)
+    path = str(tmp_path / "sphere.grid.h5")
+    save_domain(path, dom)
+    return PincConfig.from_string(
+        SPHERE_DECK.format(path=path, ctype=ctype, steps=steps, extra=extra))
+
+
+def _assert_no_penetration(sim):
+    p = sim.particles
+    alive = np.asarray(p.alive)
+    cell = np.asarray(p.cell)
+    oid = np.asarray(sim.objects.interior_id)
+    ids = oid[cell[..., 0], cell[..., 1], cell[..., 2]]
+    assert not (alive & (ids > 0)).any(), "alive particle inside the object"
+
+
+@pytest.mark.parametrize("ctype", ["reflect", "backscatter"])
+def test_sphere_collisions_flat(tmp_path, ctype):
+    """Flat path: with reflect/backscatter selected, (nearly) all hits
+    bounce — no alive particle penetrates the surface and almost nothing
+    is absorbed (only response failures, e.g. corner starts)."""
+    sim = Simulation(_sphere_cfg(tmp_path, ctype), seed=4)
+    assert sim.objects.has_collisions
+    n0 = int(np.asarray(sim.particles.counts()).sum())
+    sim.run(progress_every=0)
+    n1 = int(np.asarray(sim.particles.counts()).sum())
+    _assert_no_penetration(sim)
+    # the init cull removes interior-born particles; after that, bounces
+    # keep the population: allow only a tiny failure fraction
+    assert n1 > 0.9 * n0
+    q_obj = abs(float(sim.objects.object_charge(sim.last_rho_obj)[0]))
+    # absorbed charge comes only from failures, so it stays small
+    assert q_obj < 0.1 * n0
+
+
+def test_reflect_energy_conserving_kick_free(tmp_path):
+    """With charge-free dynamics (multiplicity such that fields are
+    negligible: zero charge cannot be configured, so compare speeds
+    before/after one collision-heavy step window): reflection preserves
+    each particle's speed — total KE drift over the window is tiny."""
+    cfg = _sphere_cfg(tmp_path, "reflect", steps=8)
+    sim = Simulation(cfg, seed=4)
+    hist = sim.run(progress_every=0)
+    ke = hist["kinetic"].sum(axis=1)
+    # the plasma exchanges KE<->PE but collisions must not pump energy:
+    # bound the total drift loosely above the field-energy scale
+    assert abs(ke[-1] - ke[0]) < 0.2 * ke[0]
+
+
+@pytest.mark.parametrize("ctype", ["reflect", "backscatter"])
+def test_sphere_collisions_tiled(tmp_path, ctype):
+    """Tiled production path: same no-penetration/no-absorption guarantees
+    through the near-object tile plane machinery."""
+    from pinc_tpu.tiled_sim import TiledSimulation
+    extra = "[tiles]\ntileSize = 4\nmargin = 2\nrebucketEvery = 4\n"
+    cfg = _sphere_cfg(tmp_path, ctype, extra=extra)
+    cfg.set_str("methods:layout", "tiled")
+    sim = TiledSimulation(cfg, seed=4)
+    n0 = int(np.asarray(sim.to_particles(sim.state).counts()).sum())
+    sim.run(progress_every=0)
+    n1 = int(np.asarray(sim.particles.counts()).sum())
+    _assert_no_penetration(sim)
+    assert n1 > 0.9 * n0
+
+
+def test_sphere_collisions_sharded_tiled(tmp_path, cpu_devices):
+    """Sharded-tiled path: collisions compose with the device mesh."""
+    from pinc_tpu.parallel.tiled_pic import ShardedTiledSimulation
+    extra = "[tiles]\ntileSize = 4\nmargin = 2\nrebucketEvery = 4\n"
+    cfg = _sphere_cfg(tmp_path, "reflect", steps=6, extra=extra)
+    cfg.set_str("methods:layout", "tiled")
+    cfg.set_str("grid:nsubdomains", "2,1,1")
+    cfg.set_str("grid:truesize", "8,16,16")    # per-subdomain: 16^3 global
+    sim = ShardedTiledSimulation(cfg, seed=4)
+    n0 = int(np.asarray(sim.to_particles(sim.state).counts()).sum())
+    sim.run(progress_every=0)
+    n1 = int(np.asarray(sim.particles.counts()).sum())
+    _assert_no_penetration(sim)
+    assert n1 > 0.9 * n0
+
+
+def test_collision_type_validation():
+    L = 12
+    dom = make_sphere((L,) * 3, (6, 6, 6), 2.0)
+    with pytest.raises(ValueError, match="collisionType"):
+        ObjectSystem.build(dom, SpectralSolver((L,) * 3), periodic=True,
+                           collision_types=("bounce",))
