@@ -57,6 +57,16 @@ def make_sharded_solver(solver, ctx: MeshCtx, cfg, dtype):
 
     fspec = ctx.field_spec()
     if not isinstance(solver, SpectralSolver):
+        from ..solvers.multigrid import MultigridSolver
+        from . import mg as _mg
+        if (isinstance(solver, MultigridSolver)
+                and cfg.get_bool("parallel:shardedmg", True)
+                and all(t % 2 == 0 for t in ctx.true_size)):
+            # the real distributed multigrid: shard_map smoothers with
+            # explicit per-color halo permutes (parallel/mg.py), not
+            # XLA's auto-partitioning of jnp.roll stencils
+            return _mg.from_single(solver, ctx, cfg, dtype)
+
         def solve_mg(rho):
             return lax.with_sharding_constraint(solver(rho),
                                                 ctx.sharding(fspec))

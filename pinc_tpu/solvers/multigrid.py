@@ -312,6 +312,13 @@ class MultigridSolver:
 
     # --------------------------------------------------------------- solve
     def __call__(self, rho: jax.Array, phi0: jax.Array | None = None) -> jax.Array:
+        return self.solve_with_stats(rho, phi0)[0]
+
+    def solve_with_stats(self, rho: jax.Array, phi0: jax.Array | None = None
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """-> (phi, n_cycles, rms_residual): the measured V-cycle count to
+        tolerance (what the reference's mgMode persists to timer.xy.h5,
+        src/multigrid.c:1998-2004) and the final RMS residual."""
         rho = rho.astype(self.dtype)
         if self._has_nullspace:
             rho = _neutral(rho)
@@ -350,7 +357,7 @@ class MultigridSolver:
             phi = _neutral(phi)
         if self.bc is not None:
             phi = clamp_dirichlet(phi, self.bc)
-        return phi
+        return phi, n_cycles, jnp.sqrt(r2)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,125 @@
+"""Sharded multigrid (parallel/mg.py): shard_map smoothers with explicit
+halo permutes must reproduce the single-block solver exactly — same
+cycle structure, same smoother counts, same BCs (VERDICT item 4
+acceptance: sharded == single tests on bounded decks, routed through
+make_sharded_solver)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinc_tpu.bc import BCSpec
+from pinc_tpu.grid import BndType, GridSpec, fill_sin, fill_sin_dirichlet
+from pinc_tpu.parallel.mesh import make_mesh
+from pinc_tpu.parallel.mg import ShardedMultigridSolver, _max_levels
+from pinc_tpu.solvers.multigrid import MultigridSolver
+
+PARAMS = dict(n_levels=3, n_pre=4, n_post=4, n_coarse=20, max_cycles=8,
+              tol=1e-12)   # tol unreachable -> both run the full 8 cycles
+
+
+def _spec(n, periodic=True):
+    b = BndType.PERIODIC if periodic else BndType.DIRICHLET
+    return GridSpec(n_dims=3, true_size=(n, n, n), n_subdomains=(1, 1, 1),
+                    boundaries=(b,) * 6)
+
+
+def _run_pair(rho_np, nsub, bc=None, cycle="mgvrecursive"):
+    n = rho_np.shape[0]
+    single = MultigridSolver((n,) * 3, cycle=cycle, bc=bc, **PARAMS)
+    ctx = make_mesh(nsub, tuple(n // s for s in nsub))
+    sharded = ShardedMultigridSolver(ctx, cycle=cycle, bc=bc, **PARAMS)
+    rho = jnp.asarray(rho_np, jnp.float32)
+    phi1 = np.asarray(jax.jit(single)(rho))
+    rho_sh = jax.device_put(rho, ctx.sharding(ctx.field_spec()))
+    phi2 = np.asarray(jax.jit(sharded)(rho_sh))
+    return phi1, phi2
+
+
+@pytest.mark.parametrize("nsub", [(2, 2, 2), (2, 1, 1), (1, 2, 4)])
+def test_sharded_mg_matches_single_periodic(cpu_devices, nsub):
+    rho_np, _ = fill_sin(_spec(16))
+    phi1, phi2 = _run_pair(rho_np, nsub)
+    scale = np.abs(phi1).max()
+    assert np.abs(phi1 - phi2).max() < 2e-5 * scale, (
+        np.abs(phi1 - phi2).max(), scale)
+
+
+def test_sharded_mg_matches_single_dirichlet(cpu_devices):
+    """Bounded deck with INHOMOGENEOUS Dirichlet values: the edge devices
+    must clamp/ghost exactly like the single-block pad_bc."""
+    bc = BCSpec(lower=(BndType.DIRICHLET,) * 3,
+                upper=(BndType.DIRICHLET,) * 3,
+                lower_value=(0.5, 0.0, -0.25), upper_value=(1.0, 0.25, 0.0))
+    rho_np, _ = fill_sin_dirichlet(_spec(16, periodic=False))
+    phi1, phi2 = _run_pair(rho_np, (2, 2, 2), bc=bc)
+    scale = max(np.abs(phi1).max(), 1e-12)
+    assert np.abs(phi1 - phi2).max() < 2e-5 * scale
+
+
+def test_sharded_mg_mixed_bc(cpu_devices):
+    """Periodic x/y with Neumann z walls."""
+    bc = BCSpec(lower=(BndType.PERIODIC, BndType.PERIODIC, BndType.NEUMANN),
+                upper=(BndType.PERIODIC, BndType.PERIODIC, BndType.NEUMANN),
+                lower_value=(0.0, 0.0, 0.1), upper_value=(0.0, 0.0, 0.1))
+    rho_np, _ = fill_sin(_spec(16))
+    phi1, phi2 = _run_pair(rho_np, (2, 2, 1), bc=bc)
+    scale = max(np.abs(phi1).max(), 1e-12)
+    assert np.abs(phi1 - phi2).max() < 2e-5 * scale
+
+
+@pytest.mark.parametrize("cycle", ["mgW", "mgFMG"])
+def test_sharded_mg_cycles(cpu_devices, cycle):
+    rho_np, _ = fill_sin(_spec(16))
+    phi1, phi2 = _run_pair(rho_np, (2, 2, 2), cycle=cycle)
+    scale = np.abs(phi1).max()
+    assert np.abs(phi1 - phi2).max() < 2e-5 * scale
+
+
+def test_sharded_mg_solves(cpu_devices):
+    """It actually solves: residual below tolerance on a 32^3 (2,2,2)
+    mesh with realistic smoother counts."""
+    from pinc_tpu.grid import laplacian
+    rho_np, _ = fill_sin(_spec(32))
+    ctx = make_mesh((2, 2, 2), (16, 16, 16))
+    mg = ShardedMultigridSolver(ctx, n_levels=3, n_pre=10, n_post=10,
+                                n_coarse=20, max_cycles=15, tol=1e-6)
+    rho = jax.device_put(jnp.asarray(rho_np, jnp.float32),
+                         ctx.sharding(ctx.field_spec()))
+    phi = jax.jit(mg)(rho)
+    r = np.asarray(laplacian(jnp.asarray(np.asarray(phi))) + rho_np)
+    assert np.sqrt((r ** 2).mean()) < 1e-5
+
+
+def test_max_levels():
+    ctx = make_mesh((1, 1, 1), (16, 16, 16))
+    assert _max_levels(ctx) == 5
+    ctx = make_mesh((1, 1, 1), (16, 8, 16))
+    assert _max_levels(ctx) == 4
+
+
+def test_make_sharded_solver_routes_mg(cpu_devices):
+    """Decks selecting mgSolve on a mesh route through the REAL sharded
+    multigrid, not the auto-partitioned fallback."""
+    from pinc_tpu.config import PincConfig
+    from pinc_tpu.parallel.pencil_fft import make_sharded_solver
+    from pinc_tpu.solvers.multigrid import make_from_config
+
+    deck = """
+[grid]
+nDims = 3
+nSubdomains = 2,2,2
+trueSize = 8,8,8
+stepSize = 1
+boundaries = PERIODIC
+[multigrid]
+mgLevels = 3
+"""
+    cfg = PincConfig.from_string(deck)
+    solver = make_from_config(cfg)
+    ctx = make_mesh((2, 2, 2), (8, 8, 8))
+    sharded = make_sharded_solver(solver, ctx, cfg, jnp.float32)
+    assert isinstance(sharded, ShardedMultigridSolver)
+    # levels capped so local extents stay whole
+    assert sharded.n_levels <= _max_levels(ctx)

@@ -130,3 +130,108 @@ def test_solvers_jit_compatible():
     phi2 = jax.jit(sp)(rho)
     assert np.isfinite(np.asarray(phi1)).all()
     assert np.isfinite(np.asarray(phi2)).all()
+
+
+# ---------------------------------------------------------------------------
+# gFill fixture family (gFillSin/Heavi/Point/Exp/... + exact solutions,
+# src/grid.c:1350-1744) and BC-aware error scaling (VERDICT item 7)
+# ---------------------------------------------------------------------------
+
+def _dirichlet_bc(nd=3, value=0.0):
+    from pinc_tpu.bc import BCSpec
+    return BCSpec(lower=(BndType.DIRICHLET,) * nd,
+                  upper=(BndType.DIRICHLET,) * nd,
+                  lower_value=(value,) * nd, upper_value=(value,) * nd)
+
+
+def test_fill_heavi_fd_exact():
+    """The Heaviside fixture's parabola solution inverts the FD laplacian
+    EXACTLY (piecewise quadratic): lap(phi_exact) == -rho everywhere,
+    including the transition planes (gFillHeavi/gFillHeaviSol,
+    src/grid.c:1350-1475)."""
+    from pinc_tpu.grid import fill_heavi
+    spec = spec3d(16)
+    rho, phi = fill_heavi(spec, d=0)
+    lap = np.asarray(laplacian(jnp.asarray(phi)))
+    assert np.abs(lap + rho).max() < 1e-10
+
+
+def test_fill_sin_dirichlet_consistent():
+    """fill_sin_dirichlet: phi vanishes on every wall and its continuum
+    laplacian is -rho (discretization error O(h^2))."""
+    from pinc_tpu.bc import laplacian_bc
+    from pinc_tpu.grid import fill_sin_dirichlet
+    spec = spec3d(32)
+    rho, phi = fill_sin_dirichlet(spec)
+    for d in range(3):
+        sl = [slice(None)] * 3
+        for edge in (0, -1):
+            sl[d] = edge
+            assert np.abs(phi[tuple(sl)]).max() < 1e-12
+    bc = _dirichlet_bc()
+    lap = np.asarray(laplacian_bc(jnp.asarray(phi), bc=bc.homogeneous()))
+    interior = np.abs(lap + rho)[1:-1, 1:-1, 1:-1]
+    assert interior.max() < np.abs(rho).max() * 0.02
+
+
+def test_multigrid_heavi_solve():
+    """MG solve of the square wave reproduces the parabola to solver
+    tolerance (FD-exact fixture, so the residual IS the error)."""
+    from pinc_tpu.grid import fill_heavi
+    spec = spec3d(32)
+    rho, phi_exact = fill_heavi(spec, d=0)
+    mg = MultigridSolver(spec.global_size, n_levels=4, n_pre=3, n_post=3,
+                         n_coarse=30, max_cycles=40, tol=1e-6)
+    phi = np.asarray(mg(jnp.asarray(rho, dtype=jnp.float32)))
+    pe = phi_exact - phi_exact.mean()
+    assert rms(phi - phi.mean() - pe) / rms(pe) < 1e-3
+
+
+def test_error_scaling_dirichlet_order2():
+    """Convergence order ~2 against the Dirichlet-compatible sinusoid,
+    with the solver built with the deck BCs (VERDICT weak #7: the study
+    was periodic-only)."""
+    from pinc_tpu.grid import fill_sin_dirichlet
+    bc = _dirichlet_bc(value=0.0)
+    errs = []
+    for n in (16, 32):
+        spec = spec3d(n)
+        rho_np, phi_exact = fill_sin_dirichlet(spec)
+        mg = MultigridSolver(spec.global_size, n_levels=3, n_pre=4, n_post=4,
+                             n_coarse=40, max_cycles=40, tol=1e-8, bc=bc)
+        phi = np.asarray(mg(jnp.asarray(rho_np, dtype=jnp.float32)))
+        errs.append(rms(phi - phi_exact) / rms(phi_exact))
+    order = np.log2(errs[0] / errs[1])
+    assert order > 1.5, (errs, order)
+
+
+def test_fill_point_and_misc_fixtures():
+    """Point/exp/rng/cst fixtures have the reference's shapes and values
+    (gFillPoint -1e2 at center, gFillCst ones, gFillExp peak 1 at
+    center)."""
+    from pinc_tpu.grid import fill_cst, fill_exp, fill_point, fill_rng
+    spec = spec3d(16)
+    rho, phi = fill_point(spec)
+    assert rho[8, 8, 8] == -1e2 and np.count_nonzero(rho) == 1
+    assert phi[8, 8, 8] == 0.0
+    assert phi[9, 8, 8] == pytest.approx(1.0)
+    e = fill_exp(spec)
+    assert e[8, 8, 8] == pytest.approx(1.0)
+    assert fill_cst(spec).min() == 1.0
+    r = fill_rng(spec, seed=1)
+    assert abs(r.mean()) < 0.1 and 0.8 < r.std() < 1.2
+
+
+def test_solve_with_stats_reports_measured_cycles():
+    """solve_with_stats returns the measured V-cycle count (< the cap when
+    the tolerance is reached first) and the final residual."""
+    spec = spec3d(16)
+    rho_np, _ = fill_sin(spec)
+    mg = MultigridSolver(spec.global_size, n_levels=3, n_pre=4, n_post=4,
+                         n_coarse=20, max_cycles=50, tol=1e-5)
+    phi, n_cycles, resid = mg.solve_with_stats(
+        jnp.asarray(rho_np, dtype=jnp.float32))
+    n_cycles = int(n_cycles)
+    assert 0 < n_cycles < 50
+    assert float(resid) <= 1e-5
+    assert rms(laplacian(phi) + rho_np) < 1e-4
