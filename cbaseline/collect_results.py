@@ -74,15 +74,22 @@ if f.exists():
         kin = np.asarray(h["energy/kinetic/total"])[:, 1]
         pot = np.asarray(h["energy/potential/total"])[:, 1]
     tot = kin + pot
-    # normalize against the first step with nonzero total
-    i0 = int(np.argmax(tot != 0.0))
-    rel = (tot - tot[i0]) / tot[i0]
+    # langmuirCold starts COLD (KE ~ 0), so normalizing by E(t=0) is
+    # meaningless; the standard PIC drift statistic is the change over
+    # the window relative to the time-averaged total energy after the
+    # initial oscillation settles (first 10% discarded)
+    w = max(1, len(tot) // 10)
+    e_mean = float(np.mean(tot[w:])) or 1e-300
+    rel = (tot - tot[w]) / abs(e_mean)
+    t = np.arange(len(tot), dtype=np.float64)
+    slope = np.polyfit(t[w:], tot[w:], 1)[0] / abs(e_mean)
     out["drift"] = {
         "deck": "langmuirCold.ini 32^3 (1,1,1)",
         "steps": DRIFT_STEPS,
-        "E0": float(tot[i0]),
+        "E_mean": e_mean,
         "final_rel_drift": float(rel[-1]),
         "max_abs_rel_drift": float(np.abs(rel).max()),
+        "drift_per_1k_steps": float(slope * 1000.0),
     }
     np.save(RES / "drift_curve.npy",
             np.stack([np.arange(len(tot)), tot]))

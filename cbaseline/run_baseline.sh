@@ -22,7 +22,12 @@ if [ "$QUICK" = "quick" ]; then STEPS=20; DRIFT_STEPS=60; fi
 run() {
     out=$1; shift
     rm -rf "$out"
-    "$HERE/pinc_ref" "$@" files:output="$out/" \
+    # PINC_SKIP_STEP_IO: skip the unconditional per-step grid/particle
+    # dumps (see patch_sources.py) — the reference's internal Timer
+    # brackets only the compute section, so "Time spent" is unaffected,
+    # and history.xy.h5 (energies, the drift protocol's input) still
+    # writes every step.
+    PINC_SKIP_STEP_IO=1 "$HERE/pinc_ref" "$@" files:output="$out/" \
         msgfiles:parsedump="$out/parsedump.txt" > "$out.log" 2>&1 \
         || { tail -5 "$out.log"; exit 1; }
     grep "Time spent" "$out.log" || true
