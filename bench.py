@@ -133,7 +133,77 @@ def bench_solver(grid_n=128, reps=10):
     return out
 
 
+def _factor_mesh(n: int, nd: int = 3):
+    dims = [1] * nd
+    remaining, primes, d = n, [], 2
+    while d * d <= remaining:
+        while remaining % d == 0:
+            primes.append(d)
+            remaining //= d
+        d += 1
+    if remaining > 1:
+        primes.append(remaining)
+    for p in sorted(primes, reverse=True):
+        dims[dims.index(min(dims))] *= p
+    return tuple(sorted(dims))
+
+
+def bench_multichip(steps=None):
+    """Weak-scaling scale-out bench (input/bench_scaleout.ini): the
+    single-chip per-device workload sharded over ALL visible devices.
+    One command when pod hardware appears; CPU meshes validate the
+    sharding at tiny shapes."""
+    from pinc_tpu.config import PincConfig
+    from pinc_tpu.parallel.tiled_pic import ShardedTiledSimulation
+
+    devices = jax.devices()
+    n = len(devices)
+    on_tpu = devices[0].platform != "cpu"
+    nsub = _factor_mesh(n)
+    local = 128 if on_tpu else 16
+    ppc = 32 if on_tpu else 2
+    steps = steps or (40 if on_tpu else 2)
+    over = [f"grid:nSubdomains={','.join(map(str, nsub))}",
+            f"grid:trueSize={local},{local},{local}",
+            f"population:nParticles={ppc} pc",
+            f"population:nAlloc={ppc} pc",
+            f"time:nTimeSteps={steps}"]
+    cfg = PincConfig.from_file("input/bench_scaleout.ini", over)
+    t0 = time.monotonic()
+    sim = ShardedTiledSimulation(cfg, seed=1, devices=devices)
+    n_particles = int(jax.device_get(sim.state.alive.sum()))
+    carry = sim.state
+    sim.state = None
+    log(f"setup: {nsub} mesh x {local}^3 local, {n_particles:,} particles "
+        f"({time.monotonic()-t0:.1f}s)")
+    run_n = sim.make_scan_steps(steps, donate=True)
+    t0 = time.monotonic()
+    carry, _ = run_n(carry)
+    jax.block_until_ready(carry.lpos)
+    log(f"compile+first window: {time.monotonic()-t0:.1f}s")
+    t0 = time.monotonic()
+    carry, (ke, pe, dropped) = run_n(carry)
+    jax.block_until_ready(carry.lpos)
+    wall = time.monotonic() - t0
+    psteps = n_particles * steps / wall
+    log(f"{steps} steps on {n} device(s): {psteps:.3e} particle-steps/s "
+        f"({psteps / n:.3e}/chip), dropped={int(dropped)}")
+    print(json.dumps({
+        "metric": "particle_steps_per_sec_multichip",
+        "value": psteps, "unit": "particle-steps/s",
+        "vs_baseline": psteps / (BASELINE_PSTEPS * n),
+        "aux": {"devices": n, "mesh": list(nsub),
+                "per_chip": psteps / n}}))
+    return psteps
+
+
 def main():
+    if "--multichip" in sys.argv:
+        steps = None
+        if "--steps" in sys.argv:
+            steps = int(sys.argv[sys.argv.index("--steps") + 1])
+        bench_multichip(steps=steps)
+        return
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     import os
