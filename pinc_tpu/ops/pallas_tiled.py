@@ -293,7 +293,7 @@ def _pic_step_kernel(q_ref, qm_ref, tvec_ref, svec_ref, pos_ref, vel_ref,
                      alive_ref, e_ref, tiles_ref, pos_out_ref, vel_out_ref,
                      ke_ref, nout_ref, *, P, M, T, C, mxu_dtype, G,
                      order_acc=1, order_distr=1, e_ext=(0.0, 0.0, 0.0),
-                     boris=False):
+                     boris=False, e_merged=False):
     s = pl.program_id(1)
     q = q_ref[0, s]
     qm = qm_ref[0, s]
@@ -311,7 +311,12 @@ def _pic_step_kernel(q_ref, qm_ref, tvec_ref, svec_ref, pos_ref, vel_ref,
         y = pos_ref[0, 1, gsl, :]
         z = pos_ref[0, 2, gsl, :]
         # gather E at the pre-drift positions (leapfrog kick with E_n(x_n))
-        E_all = e_ref[g, :, :, :].reshape(C * P, P * P).astype(mxu_dtype)
+        if e_merged:
+            # (C*P, P*P) tiles straight from pallas_field.efield_tiles
+            # (already in mxu_dtype — the astype is a no-op then)
+            E_all = e_ref[g, :, :].astype(mxu_dtype)
+        else:
+            E_all = e_ref[g, :, :, :].reshape(C * P, P * P).astype(mxu_dtype)
         wx = _weights_t(x, P, M, order_acc)
         wyz = _kron_iota(y, z, P, M, mxu_dtype, order_acc)
         G_all = jax.lax.dot_general(
@@ -397,7 +402,12 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
     G = _tiles_per_step(NT, tiles_per_step)
     NI = NT // G
 
-    if field_pad.ndim == 4:
+    e_merged = field_pad.ndim == 3
+    if e_merged:
+        # pre-merged (NT, C*P, P*P) rows — ops.pallas_field.efield_tiles
+        E = field_pad
+        C = field_pad.shape[1] // P
+    elif field_pad.ndim == 4:
         # already component-major (NT, C, P, P*P) — ops.tiled.pad_tiles_cmajor
         E = field_pad
         C = field_pad.shape[1]
@@ -429,7 +439,8 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
     tiles, pos_o, vel_o, ke, nout = pl.pallas_call(
         partial(_pic_step_kernel, P=P, M=ts.M, T=ts.T, C=C,
                 mxu_dtype=mxu_dtype, G=G, order_acc=order_acc,
-                order_distr=order_distr, e_ext=e_ext_t, boris=boris),
+                order_distr=order_distr, e_ext=e_ext_t, boris=boris,
+                e_merged=e_merged),
         out_shape=(jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
                    jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
@@ -437,8 +448,10 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
                    jax.ShapeDtypeStruct((S, NI, 1, 128), jnp.float32)),
         grid=(NI, S),
         in_specs=[smem, smem, smem3, smem3, svec, svec, srow,
-                  pl.BlockSpec((G, C, P, P * P), lambda i, s: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
+                  (pl.BlockSpec((G, C * P, P * P), lambda i, s: (i, 0, 0),
+                                memory_space=pltpu.VMEM) if e_merged else
+                   pl.BlockSpec((G, C, P, P * P), lambda i, s: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM))],
         out_specs=(pl.BlockSpec((G, P, P * P), lambda i, s: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    svec, svec, sacc, sacc),

@@ -1037,15 +1037,24 @@ class TiledSimulation(Simulation):
         pair emitted at scan slot k is centered on step k-1, with the
         window-start solve supplying the first pe."""
         from .ops import pallas_tiled as ptl
+        from .ops import pallas_field as pfield
         interp = jax.devices()[0].platform == "cpu"
         charge = tuple(float(c) for c in np.asarray(self.params.charge))
         qm = tuple(float(c / m) for c, m in
                    zip(charge, np.asarray(self.params.mass)))
         mass_j = jnp.asarray(np.asarray(self.params.mass), jnp.float32)
         ts = self.ts
+        # fused -gradient+pad kernel when the padded phi fits VMEM; emits
+        # the E tiles in the MXU dtype directly (pic_step casts them
+        # per-tile anyway, so this is bit-identical at half the traffic)
+        use_ek = (not interp) and pfield.efield_tiles_fits(ts)
+        e_dtype = (jnp.bfloat16 if self._mxu_dtype == jnp.bfloat16
+                   else jnp.float32) if use_ek else jnp.float32
 
-        def pad5(E):
-            return tl.pad_tiles_cmajor(E, ts)
+        def e_tiles(phi):
+            if use_ek:
+                return pfield.efield_tiles(phi, ts, out_dtype=e_dtype)
+            return tl.pad_tiles_cmajor(-gradient(phi), ts)
 
         def body(carry, _):
             st, ep5, pe_prev = carry
@@ -1059,21 +1068,27 @@ class TiledSimulation(Simulation):
                 tiles.reshape((ts.NT,) + (ts.P,) * 3),
                 ts).astype(self.spec.dtype)
             phi = self.solver(rho)
-            E = -gradient(phi)
             ke = 0.5 * mass_j * vdot
             pe = potential_energy(rho, phi)
             st2 = TiledState(lpos=lpos, vel=vel, alive=st.alive)
-            # the scalar add is NOT a no-op: feeding pad_tiles' transpose
-            # straight into the scan carry makes XLA pick a carry layout
-            # that relayouts the 65 MB field tiles every step (measured
-            # 72 -> 60 ms/step with the materializing add)
-            ep5n = pad5(E) + 0.0 * pe
+            # the scalar add is NOT a no-op on the XLA fallback: feeding
+            # pad_tiles' transpose straight into the scan carry makes XLA
+            # pick a carry layout that relayouts the 65 MB field tiles
+            # every step (measured 72 -> 60 ms/step with the
+            # materializing add).  The Pallas kernel's output layout is
+            # already the carry layout, so there it IS skipped.
+            ep5n = e_tiles(phi)
+            if not use_ek:
+                ep5n = ep5n + 0.0 * pe
             return (st2, ep5n, pe), (ke, pe_prev)
 
         def run_n(st, rho_obj=None):
             rho0, phi0, E0 = self._fields(st)
             pe0 = potential_energy(rho0, phi0)
-            carry = (st, pad5(E0) + 0.0 * pe0, pe0)
+            ep5_0 = e_tiles(phi0)
+            if not use_ek:
+                ep5_0 = ep5_0 + 0.0 * pe0
+            carry = (st, ep5_0, pe0)
             carry, (ke, pe), dropped = self._scan_with_rebuckets(
                 body, carry, n)
             return carry[0], (ke, pe, dropped)
