@@ -84,17 +84,20 @@ def _efield_kernel(phi_ref, out_ref, *, T, M, P, ntz, nz, out_dtype):
 
 def efield_tiles(phi: jax.Array, ts: TileSpec,
                  interpret: bool = False,
-                 out_dtype=jnp.float32) -> jax.Array:
+                 out_dtype=jnp.float32,
+                 transposed: bool = False) -> jax.Array:
     """phi (X, Y, Z) f32 -> padded component-major E tiles (NT, C*P,
     P*P) — ``pad_tiles_cmajor(-gradient(phi), ts)`` with the (C, P) axes
     pre-merged into the gather-matmul row layout (cast to ``out_dtype``
-    after the difference stencil)."""
+    after the difference stencil).  transposed=True: phi is already in
+    the (y, x, z) orientation (e.g. straight from ``fold_global_t``)."""
     assert ts.n_dims == 3, "efield_tiles is 3D"
     nx, ny, nz = ts.grid
     T, M, P = ts.T, ts.M, ts.P
     ntx, nty, ntz = ts.ntiles
     # (y, x, z) orientation + periodic x/y pad of (M+1, M+2) planes
-    pt = jnp.transpose(phi.astype(jnp.float32), (1, 0, 2))
+    pt = (phi.astype(jnp.float32) if transposed
+          else jnp.transpose(phi.astype(jnp.float32), (1, 0, 2)))
     pad = ((M + 1, M + 2), (M + 1, M + 2), (0, 0))
     pt = jnp.pad(pt, pad, mode="wrap")
 

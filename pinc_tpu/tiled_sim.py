@@ -1050,11 +1050,34 @@ class TiledSimulation(Simulation):
         use_ek = (not interp) and pfield.efield_tiles_fits(ts)
         e_dtype = (jnp.bfloat16 if self._mxu_dtype == jnp.bfloat16
                    else jnp.float32) if use_ek else jnp.float32
+        # fused fold kernel: tiles -> rho in (y, x, z) orientation, with
+        # the spectral solve running on the permuted shape (the FFT is
+        # axis-order agnostic) so phi feeds efield_tiles transpose-free
+        from .solvers.spectral import SpectralSolver
+        use_fk = (use_ek and ts.T > 2 * ts.M + 1
+                  and isinstance(self.solver, SpectralSolver))
+        if use_fk:
+            nx, ny, nz = ts.grid
+            solver_t = SpectralSolver((ny, nx, nz), fd=self.solver.fd,
+                                      dtype=self.solver.dtype)
 
-        def e_tiles(phi):
+        def e_tiles(phi, transposed=False):
             if use_ek:
-                return pfield.efield_tiles(phi, ts, out_dtype=e_dtype)
+                return pfield.efield_tiles(phi, ts, out_dtype=e_dtype,
+                                           transposed=transposed)
             return tl.pad_tiles_cmajor(-gradient(phi), ts)
+
+        def solve_fields(tiles):
+            """deposited tiles -> (rho-or-rho_t, phi-or-phi_t); the
+            orientation is consistent between the two, which is all the
+            downstream pe/efield consumers need."""
+            if use_fk:
+                rho = pfield.fold_global_t(tiles, ts)
+                return rho, solver_t(rho)
+            rho = tl.fold_to_global(
+                tiles.reshape((ts.NT,) + (ts.P,) * 3),
+                ts).astype(self.spec.dtype)
+            return rho, self.solver(rho)
 
         def body(carry, _):
             st, ep5, pe_prev = carry
@@ -1064,10 +1087,7 @@ class TiledSimulation(Simulation):
                 order_acc=self._acc_order, order_distr=self._distr_order,
                 e_ext=self._e_ext, boris_T=self._boris_T,
                 boris_S=self._boris_S)
-            rho = tl.fold_to_global(
-                tiles.reshape((ts.NT,) + (ts.P,) * 3),
-                ts).astype(self.spec.dtype)
-            phi = self.solver(rho)
+            rho, phi = solve_fields(tiles)
             ke = 0.5 * mass_j * vdot
             pe = potential_energy(rho, phi)
             st2 = TiledState(lpos=lpos, vel=vel, alive=st.alive)
@@ -1077,7 +1097,7 @@ class TiledSimulation(Simulation):
             # every step (measured 72 -> 60 ms/step with the
             # materializing add).  The Pallas kernel's output layout is
             # already the carry layout, so there it IS skipped.
-            ep5n = e_tiles(phi)
+            ep5n = e_tiles(phi, transposed=use_fk)
             if not use_ek:
                 ep5n = ep5n + 0.0 * pe
             return (st2, ep5n, pe), (ke, pe_prev)
