@@ -104,9 +104,9 @@ def _tri_incl(b, dtype=jnp.float32):
     return (i <= j).astype(dtype)
 
 
-def _scan_lanes_8(m):
-    """(8, L) f32 0/1 -> inclusive prefix in (sublane-major, lane) order.
-    Exact for counts (f32 integers)."""
+def _scan_lanes_rows(m):
+    """(8, L) f32 0/1 -> per-ROW inclusive prefix along lanes (rows are
+    independent — no cross-sublane carry).  Exact for counts."""
     L = m.shape[-1]
     nb = L // 128
     rem = L - nb * 128
@@ -128,6 +128,13 @@ def _scan_lanes_8(m):
         running = running + c[:, rem - 1:rem]
     scanned = (out_blocks[0] if len(out_blocks) == 1
                else jnp.concatenate(out_blocks, axis=1))
+    return scanned, running
+
+
+def _scan_lanes_8(m):
+    """(8, L) f32 0/1 -> inclusive prefix in (sublane-major, lane) order.
+    Exact for counts (f32 integers)."""
+    scanned, running = _scan_lanes_rows(m)
     # cross-sublane exclusive carry of the row totals
     i = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
@@ -193,6 +200,149 @@ def extract_fused(coord: jax.Array, alive: jax.Array,
         interpret=interpret,
     )(r3(coord), r3(alive), *[r3(p) for p in planes])
     return bufs, alive2.reshape(NT, B)
+
+
+# ---------------------------------------------------------------------------
+# v4: per-ROW exchange.  Each sublane row s of tile t exchanges with row
+# s of tile t+-1, with its own compact buffer block and free-slot ranks.
+# Rank scans lose the cross-sublane carry, and — the actual win — the
+# one-hot selection matrices shrink from (2K, L) to (2Ks, L) per row on
+# BOTH the extract and the merge (the (2K, L) VPU iota-compare BUILDS,
+# not the MXU dots, dominate the v3 exchange: ~8.9M elements per tile
+# per extract at K=256).  Ks is the per-row face cap; overflow drops are
+# counted by alive-sum conservation outside, as before.
+# ---------------------------------------------------------------------------
+
+def _extract_rows_kernel(coord_ref, alive_ref, *plane_refs_out, Ks, T, L):
+    *plane_refs, buf_ref, alive_out_ref = plane_refs_out
+    K2 = 2 * Ks
+    coord = coord_ref[0]                               # (8, L)
+    alive = alive_ref[0]
+    al = alive > 0.5
+    lm = al & (coord < 0.0)
+    lp = al & (coord >= float(T))
+    rm = _scan_lanes_rows(lm.astype(jnp.float32))[0] - 1.0
+    rp = _scan_lanes_rows(lp.astype(jnp.float32))[0] - 1.0
+    rank = jnp.where(lm & (rm < Ks), rm,
+                     jnp.where(lp & (rp < Ks), float(Ks) + rp, -1.0))
+    kill_only = (lm & (rm >= Ks)) | (lp & (rp >= Ks))
+    rank = jnp.where(kill_only, float(K2), rank)       # matches no column
+    leave = rank >= 0.0
+    alive_out_ref[0] = jnp.where(leave, 0.0, alive)
+
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (K2, L), 0).astype(
+        jnp.float32)
+    ones = jnp.ones((1, L), jnp.float32)
+    zeros = jnp.zeros((1, L), jnp.float32)
+    for s in range(8):
+        onehot_t = (kidx == rank[s:s + 1, :]).astype(jnp.float32)
+        pay = jnp.concatenate(
+            [r[0][s:s + 1, :] for r in plane_refs] + [ones, zeros],
+            axis=0)                                    # (8, L)
+        buf_ref[0, :, s * K2:(s + 1) * K2] = jax.lax.dot_general(
+            pay, onehot_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (8, 2Ks)
+
+
+def extract_rows(coord: jax.Array, alive: jax.Array,
+                 planes: Tuple[jax.Array, ...], Ks: int, T: int,
+                 interpret: bool = False):
+    """Per-row extract: returns (bufs (NT, 8, 8*2Ks) — row s's compact
+    block at columns [s*2Ks, (s+1)*2Ks) — and alive_killed (NT, B))."""
+    NT, B = alive.shape
+    L = B // 8
+    row = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    r3 = lambda a: a.reshape(NT, 8, L)
+    bufs, alive2 = pl.pallas_call(
+        partial(_extract_rows_kernel, Ks=Ks, T=T, L=L),
+        out_shape=(jax.ShapeDtypeStruct((NT, 8, 8 * 2 * Ks), jnp.float32),
+                   jax.ShapeDtypeStruct((NT, 8, L), jnp.float32)),
+        grid=(NT,),
+        in_specs=[row, row] + [row] * len(planes),
+        out_specs=(pl.BlockSpec((1, 8, 8 * 2 * Ks), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM), row),
+        interpret=interpret,
+    )(r3(coord), r3(alive), *[r3(p) for p in planes])
+    return bufs, alive2.reshape(NT, B)
+
+
+def _merge_rows_kernel(alive_ref, inc_ref, *plane_refs_out, Ks, L):
+    n_pl = (len(plane_refs_out) - 1) // 2
+    plane_refs = plane_refs_out[:n_pl]
+    out_refs = plane_refs_out[n_pl:2 * n_pl]
+    alive_out_ref = plane_refs_out[-1]
+    K2 = 2 * Ks
+
+    alive = alive_ref[0]                                # (8, L)
+    free = alive <= 0.5
+    fr_incl = _scan_lanes_rows(free.astype(jnp.float32))[0]
+    frank = jnp.where(free, fr_incl - 1.0, -1.0)        # per-row ranks
+
+    # passthrough first; hit rows are overwritten below
+    for c in range(n_pl):
+        out_refs[c][0] = plane_refs[c][0]
+    alive_out_ref[0] = alive
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (K2, 1), 0).astype(
+        jnp.float32)
+    for s in range(8):
+        inc_s = inc_ref[0, :, s * K2:(s + 1) * K2]      # (8, 2Ks)
+        n_m = jnp.sum(inc_s[6, :Ks])
+        n_p = jnp.sum(inc_s[6, Ks:])
+        n_arr = n_m + n_p
+        vrank = jnp.where(iota_s < Ks, iota_s, iota_s - float(Ks) + n_m)
+        valid = (((iota_s < Ks) & (iota_s < n_m))
+                 | ((iota_s >= Ks) & (iota_s - float(Ks) < n_p)))
+        frank_s = frank[s:s + 1, :]                     # (1, L)
+        has = jnp.sum(jnp.where((frank_s >= 0.0) & (frank_s < n_arr),
+                                1.0, 0.0)) > 0.0
+
+        @pl.when(has)
+        def _(s=s, inc_s=inc_s, vrank=vrank, valid=valid, frank_s=frank_s):
+            onehot = ((vrank == frank_s) & valid).astype(jnp.float32)
+            placed = jax.lax.dot_general(
+                inc_s, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (8, L)
+            hit = placed[6:7, :] > 0.5
+            for c in range(n_pl):
+                out_refs[c][0, s:s + 1, :] = jnp.where(
+                    hit, placed[c:c + 1, :], plane_refs[c][0][s:s + 1, :])
+            alive_out_ref[0, s:s + 1, :] = jnp.where(
+                hit, 1.0, alive[s:s + 1, :])
+
+
+def merge_rows(alive: jax.Array, inc: jax.Array,
+               planes: Tuple[jax.Array, ...], Ks: int,
+               interpret: bool = False):
+    """Per-row merge: inc (NT, 8, 8*2Ks) rolled-in buffers (row-blocked
+    columns); arrivals land in free slots of their own row."""
+    NT, B = alive.shape
+    L = B // 8
+    row = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    r3 = lambda a: a.reshape(NT, 8, L)
+    n_pl = len(planes)
+    outs = pl.pallas_call(
+        partial(_merge_rows_kernel, Ks=Ks, L=L),
+        out_shape=tuple(jax.ShapeDtypeStruct((NT, 8, L), jnp.float32)
+                        for _ in range(n_pl + 1)),
+        grid=(NT,),
+        in_specs=[row,
+                  pl.BlockSpec((1, 8, 8 * 2 * Ks), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + [row] * n_pl,
+        out_specs=tuple([row] * (n_pl + 1)),
+        interpret=interpret,
+    )(r3(alive), inc, *[r3(p) for p in planes])
+    new_planes = tuple(o.reshape(NT, B) for o in outs[:n_pl])
+    return new_planes, outs[n_pl].reshape(NT, B)
+
+
+def default_row_cap(K: int, B: int) -> int:
+    """Per-row face cap: K/4 (2x head room over the even K/8 share),
+    rounded to the lane quantum."""
+    q = 64 if B >= 4096 else 8
+    return max(q, -(-K // 4 // q) * q)
 
 
 # ---------------------------------------------------------------------------
@@ -425,17 +575,40 @@ def merge(frank: jax.Array, alive: jax.Array, inc: jax.Array,
 
 def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
                  ntiles: Tuple[int, ...], d: int, T: int, K: int,
-                 interpret: bool = False, roll_fn=None):
+                 interpret: bool = False, roll_fn=None, ks: int = None,
+                 rows: bool = False):
     """One dimension's ±1-tile transfer on component planes.
 
     planes: (x, y, z, vx, vy, vz) each (NT, B) f32, tile-local coords;
-    alive (NT, B) f32.  Returns (planes', alive').  Leavers beyond K per
-    face per tile are dropped (count by alive-sum conservation outside).
+    alive (NT, B) f32.  Returns (planes', alive').  Leavers beyond the
+    face cap are dropped (count by alive-sum conservation outside).
     roll_fn(x, shift, axis) overrides the buffer wrap for sharded tile
     grids (neighbor-device fetch).
+
+    rows=True (requires B % 8 == 0): the per-row v4 kernels — each
+    sublane row exchanges with the same row of the neighbor tile under
+    its own cap ks (default ``default_row_cap(K, B)``); the one-hot
+    builds shrink 4x.  rows=False: the per-tile v3 kernels with cap K.
     """
     NT, B = alive.shape
     coord = planes[d]
+    nt = tuple(ntiles)
+    roll = roll_fn or (lambda a, s, ax: jnp.roll(a, s, axis=ax))
+    if rows and B % 8 == 0:
+        Ks = ks or default_row_cap(K, B)
+        bufs, alive2 = extract_rows(coord, alive, planes, Ks, T,
+                                    interpret=interpret)
+        b6 = bufs.reshape(nt + (8, 8, 2 * Ks))
+        minus = roll(b6[..., :Ks], -1, d)
+        plus = roll(b6[..., Ks:], 1, d)
+        inc = jnp.concatenate([minus, plus], axis=-1).reshape(
+            NT, 8, 8 * 2 * Ks)
+        shift = jnp.tile(jnp.concatenate(
+            [jnp.full((Ks,), float(T), jnp.float32),
+             jnp.full((Ks,), -float(T), jnp.float32)]), 8)
+        inc = inc.at[:, d, :].add(
+            jnp.where(inc[:, 6, :] > 0.5, shift, 0.0))
+        return merge_rows(alive2, inc, planes, Ks, interpret=interpret)
     if B % 8 == 0:
         bufs, alive2 = extract_fused(coord, alive, planes, K, T,
                                      interpret=interpret)
@@ -458,8 +631,6 @@ def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
 
     # roll to neighbors: minus-going rows arrive at tile-1 along d, plus
     # at tile+1 (periodic), entering in the receiver's local frame
-    roll = roll_fn or (lambda a, s, ax: jnp.roll(a, s, axis=ax))
-    nt = tuple(ntiles)
     b5 = bufs.reshape(nt + (8, 2 * K))
     minus = roll(b5[..., :K], -1, d)
     plus = roll(b5[..., K:], 1, d)
@@ -496,15 +667,16 @@ def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
 
 def rebucket_exchange_planes(planes: Tuple[jax.Array, ...], alive: jax.Array,
                              ntiles: Tuple[int, ...], T: int, K: int,
-                             interpret: bool = False, roll_fns=None):
+                             interpret: bool = False, roll_fns=None,
+                             ks: int = None, rows: bool = False):
     """Full 3D re-bucket on component planes: sequential per-dim sweeps
     (corner flows ride two sweeps, like the reference's per-dim migration).
     Returns (planes', alive', n_dropped).  roll_fns: per-dim buffer-wrap
-    overrides for sharded tile grids."""
+    overrides for sharded tile grids.  ks/rows: see exchange_dim."""
     n0 = jnp.sum(alive.astype(jnp.int32))
     for d in range(3):
         planes, alive = exchange_dim(
             planes, alive, ntiles, d, T, K, interpret=interpret,
-            roll_fn=roll_fns[d] if roll_fns else None)
+            roll_fn=roll_fns[d] if roll_fns else None, ks=ks, rows=rows)
     dropped = n0 - jnp.sum(alive.astype(jnp.int32))
     return planes, alive, dropped

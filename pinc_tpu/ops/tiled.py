@@ -81,6 +81,18 @@ def tile_origins(ts: TileSpec) -> jax.Array:
 # Bucketing: global positions -> per-tile slots (sort + gather, no scatter)
 # ---------------------------------------------------------------------------
 
+def _slot_order(B: int) -> np.ndarray:
+    """Within-tile slot assignment order: ROW-CYCLIC when B % 8 == 0
+    (slot r*L + c receives the (c*8 + r)-th particle of the tile), so
+    occupancy — and therefore FREE slots — spreads evenly over the 8
+    sublane rows of the (8, B/8) kernel view.  The per-row exchange
+    kernels (ops/pallas_exchange v4) merge arrivals into free slots of
+    their own row; a compact prefix layout starves the busy rows."""
+    if B % 8:
+        return np.arange(B)
+    return np.arange(B).reshape(B // 8, 8).T.reshape(-1)
+
+
 def bucket(pos: jax.Array, vel: jax.Array, alive: jax.Array,
            ts: TileSpec) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """pos (N, D) float global, vel (N, D), alive (N,).
@@ -110,13 +122,15 @@ def bucket(pos: jax.Array, vel: jax.Array, alive: jax.Array,
         dimension=0, num_keys=1, is_stable=True)
     vel_s = jnp.stack(ops_v[1:1 + D], axis=-1)
 
-    # segment starts via searchsorted; slot (t, b) <- sorted index start[t]+b
+    # segment starts via searchsorted; slot (t, j) <- sorted index
+    # start[t] + order[j] (row-cyclic, see _slot_order)
     starts = jnp.searchsorted(tid_s, jnp.arange(ts.NT, dtype=tid_s.dtype))
     counts = jnp.diff(jnp.concatenate(
         [starts, jnp.searchsorted(tid_s, jnp.asarray([ts.NT],
                                                      dtype=tid_s.dtype))]))
-    src = starts[:, None] + jnp.arange(ts.B)[None, :]          # (NT, B)
-    valid = jnp.arange(ts.B)[None, :] < counts[:, None]
+    order = jnp.asarray(_slot_order(ts.B))
+    src = starts[:, None] + order[None, :]                     # (NT, B)
+    valid = order[None, :] < counts[:, None]
     src_c = jnp.clip(src, 0, pos.shape[0] - 1)
     lpos = pos_s[src_c] - tile_origins(ts)[:, None, :]
     lvel = vel_s[src_c]
@@ -139,13 +153,14 @@ def _tile_ids(pos: jax.Array, alive: jax.Array, ts: TileSpec) -> jax.Array:
 
 def _slot_map(tid_s: jax.Array, ts: TileSpec):
     """sorted tile ids -> (src (NT,B) sorted-index per slot, valid mask,
-    dropped count)."""
+    dropped count).  Slot assignment is row-cyclic (_slot_order)."""
     starts = jnp.searchsorted(tid_s, jnp.arange(ts.NT, dtype=tid_s.dtype))
     counts = jnp.diff(jnp.concatenate(
         [starts, jnp.searchsorted(tid_s, jnp.asarray([ts.NT],
                                                      dtype=tid_s.dtype))]))
-    src = starts[:, None] + jnp.arange(ts.B)[None, :]
-    valid = jnp.arange(ts.B)[None, :] < counts[:, None]
+    order = jnp.asarray(_slot_order(ts.B))
+    src = starts[:, None] + order[None, :]
+    valid = order[None, :] < counts[:, None]
     dropped = jnp.sum(jnp.maximum(counts - ts.B, 0))
     return jnp.clip(src, 0, tid_s.shape[0] - 1), valid, dropped
 

@@ -349,7 +349,8 @@ class ShardedTiledSimulation(TiledSimulation):
             planes, al, d_n = pex.rebucket_exchange_planes(
                 planes, alive[s].reshape(NTl, B),
                 lnt, ln.T, K=self._exchange_cap, interpret=interp,
-                roll_fns=buf_rolls)
+                roll_fns=buf_rolls,
+                rows=getattr(self, "_exchange_rows", False))
             lpos = lpos.at[s].set(
                 jnp.stack(planes[:D]).reshape(lpos[s].shape))
             vel = vel.at[s].set(

@@ -193,6 +193,15 @@ class TiledSimulation(Simulation):
         cap = int(math.ceil(ppt_est * max(M, 1) / (8.0 * T) / 128.0)) * 128
         cap = max(128, min(cap, (self.ts.B // 8) * 8))
         self._exchange_cap = cfg.get_int("tiles:exchangecap", cap)
+        # per-ROW exchange kernels (4x smaller one-hot builds) are safe
+        # only when every row can absorb a worst-case arrival burst with
+        # zero kills: mean free slots per row >= both face caps.  Tight
+        # decks (high occupancy / large flux) keep the per-tile kernels.
+        from .ops import pallas_exchange as _pex
+        _ks = _pex.default_row_cap(self._exchange_cap, B)
+        self._exchange_rows = bool(
+            cfg.get_bool("tiles:exchangerows",
+                         B % 8 == 0 and (B - ppt) / 8.0 >= 2 * _ks))
 
         if self.objects is not None:
             # static subset of tiles that can contain absorbable particles:
@@ -394,7 +403,8 @@ class TiledSimulation(Simulation):
             planes, al, d_n = pex.rebucket_exchange_planes(
                 planes, alive_s,
                 self.ts.ntiles, self.ts.T, K=self._exchange_cap,
-                interpret=jax.devices()[0].platform == "cpu")
+                interpret=jax.devices()[0].platform == "cpu",
+                rows=self._exchange_rows)
             return (jnp.stack(planes[:D]), jnp.stack(planes[D:]),
                     al > 0.5, d_n.astype(jnp.int32))
         gpos = tl.global_positions(

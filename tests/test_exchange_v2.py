@@ -93,3 +93,45 @@ def test_exchange_matches_sort_rebucket():
 
     assert np.allclose(multiset(lp_s, lv_s, la_s, ts),
                        multiset(lp_v2, lv_v2, la_v2, ts), atol=1e-2)
+
+
+def test_exchange_rows_matches_tile_path():
+    """Per-row (v4) and per-tile (v3) kernels agree on the particle
+    multiset when rows have head room (low occupancy)."""
+    ts, lp2, lv, la = _setup((16, 16, 16), 4, 256, 3000, 0.9, seed=5)
+    planes, al = _to_planes(lp2, lv, la)
+    p_r, al_r, d_r = pex.rebucket_exchange_planes(
+        planes, al, ts.ntiles, ts.T, K=64, interpret=True, rows=True)
+    p_t, al_t, d_t = pex.rebucket_exchange_planes(
+        planes, al, ts.ntiles, ts.T, K=64, interpret=True, rows=False)
+    assert int(d_r) == int(d_t) == 0
+    assert int(al_r.sum()) == int(al_t.sum())
+
+    def mset(ps, a):
+        m = np.asarray(a) > 0.5
+        return np.sort(sum(np.asarray(p)[m] * w for p, w in
+                           zip(ps, [7.1, 3.3, 5.5, 13.3, 1.7, 2.9])))
+
+    np.testing.assert_allclose(mset(p_r, al_r), mset(p_t, al_t), atol=1e-2)
+    lp3 = np.stack([np.asarray(p) for p in p_r[:3]], axis=-1)
+    m = np.asarray(al_r) > 0.5
+    assert lp3[m].min() >= 0.0 and lp3[m].max() < ts.T
+
+
+def test_exchange_rows_overflow_counted():
+    """Per-row caps drop loudly (conservation of alive + dropped)."""
+    ts = TileSpec(grid=(8, 8, 8), T=4, M=1, B=64, chunk=8)
+    rng = np.random.default_rng(7)
+    n = 800
+    pos = rng.uniform(0, 8, (n, 3)).astype(np.float32)
+    from pinc_tpu.ops.tiled import bucket
+    lp, lv, la, _ = bucket(jnp.asarray(pos), jnp.zeros((n, 3), jnp.float32),
+                           jnp.ones(n, bool), ts)
+    lp2 = lp + jnp.asarray(np.full(lp.shape, 0.9, np.float32)) * la[..., None]
+    planes, al = _to_planes(lp2, lv, la)
+    planes, al, dropped = pex.rebucket_exchange_planes(
+        planes, al, ts.ntiles, ts.T, K=8, interpret=True, rows=True, ks=8)
+    lp3, lv3, la3 = _from_planes(planes, al)
+    assert int(la3.sum()) + int(dropped) == int(la.sum())
+    l3 = np.asarray(lp3)[np.asarray(la3)]
+    assert l3.min() >= 0.0 and l3.max() < ts.T
