@@ -119,3 +119,24 @@ patch("main.c", prepend="#include <stdlib.h>\n", pairs=[(
 )])
 
 print(f"patched sources in {OUT}")
+
+# OPT-IN thermal initial conditions for the drift-parity run: the
+# reference hardcodes pPosLattice + pVelZero (pVelMaxwell is commented
+# out, src/main.c:144-148).  The cold coincident-lattice IC is
+# degenerate for a drift comparison — both species deposit identically,
+# rho is analytically zero, and the C run "heats" purely from f64
+# roundoff noise (pinc_tpu's deterministic deposit keeps rho EXACTLY
+# zero and stays frozen).  With PINC_VEL_MAXWELL=1 the run instead
+# starts at the deck's thermalVelocity (the same Maxwellian initializer
+# the reference ships but never calls), giving a physically meaningful
+# warm plasma both codes can overlay.  Cold default is unchanged.
+main_c = (OUT / "main.c").read_text()
+anchor = ("\tpPosLattice(ini, pop, mpiInfo);\n"
+          "\tpVelZero(pop);\n")
+assert anchor in main_c
+main_c = main_c.replace(anchor, (
+    "\tpPosLattice(ini, pop, mpiInfo);\n"
+    "\tif(getenv(\"PINC_VEL_MAXWELL\")) pVelMaxwell(ini, pop, rng);\n"
+    "\telse pVelZero(pop);\n"), 1)
+(OUT / "main.c").write_text(main_c)
+print("thermal-IC opt-in (PINC_VEL_MAXWELL) patched")

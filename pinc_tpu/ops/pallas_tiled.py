@@ -96,6 +96,25 @@ def _tiles_per_step(NT: int, G: int) -> int:
     return max(G, 1)
 
 
+def _lane_chunks(B: int, n_rows: int, G: int) -> int:
+    """Number of lane chunks J so the kernel's n_rows double-buffered
+    (G, B/J) f32 blocks fit the ~16 MB scoped-VMEM budget, with
+    B/J % 128 == 0 (the Mosaic lane quantum).  Large-B decks (e.g.
+    nAlloc = 96 pc at 32^3 -> B = 61440) OOM unchunked at G = 8;
+    chunking the LANES (not G) keeps the dense (G, B) layout the
+    kernels are tuned for."""
+    limit = 15_500_000
+    for j in range(1, B // 128 + 1):
+        if B % j:
+            continue
+        CB = B // j
+        if CB % 128 and CB != B:
+            continue
+        if n_rows * G * CB * 4 * 2 <= limit:
+            return j
+    return max(B // 128, 1)
+
+
 def _row_specs(NT: int, B: int, G: int, n: int):
     pin = pl.BlockSpec((G, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return [pin] * n
@@ -107,15 +126,25 @@ def _row_specs(NT: int, B: int, G: int, n: int):
 
 def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M,
                     mxu_dtype, G, order=1):
+    j = pl.program_id(1)
+
     def tile_body(g, _):
         sl = (pl.ds(g, 1), slice(None))
         wx = (_weights_t(x_ref[sl], P, M, order)
               * val_ref[sl]).astype(mxu_dtype)
         wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype, order)
         acc = jax.lax.dot_general(
-            wx, wyz, (((1,), (1,)), ((), ())),      # contract lanes, K = B
+            wx, wyz, (((1,), (1,)), ((), ())),      # contract lanes, K = CB
             preferred_element_type=jnp.float32)
-        out_ref[pl.ds(g, 1), :, :] = acc[None]
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[pl.ds(g, 1), :, :] = acc[None]
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[pl.ds(g, 1), :, :] += acc[None]
+
         return 0
 
     jax.lax.fori_loop(0, G, tile_body, 0)
@@ -138,14 +167,18 @@ def deposit(xyz: jax.Array, value: jax.Array, ts: TileSpec,
     _, NT, B = xyz.shape
     P = ts.P
     G = _tiles_per_step(NT, tiles_per_step)
+    J = _lane_chunks(B, 4, G)
+    CB = B // J
+    row = pl.BlockSpec((G, CB), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         partial(_deposit_kernel, P=P, M=ts.M, mxu_dtype=mxu_dtype, G=G,
                 order=order),
         out_shape=jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
-        grid=(NT // G,),
-        in_specs=_row_specs(NT, B, G, 4),
-        out_specs=pl.BlockSpec((G, P, P * P), lambda i: (i, 0, 0),
+        grid=(NT // G, J),
+        in_specs=[row] * 4,
+        out_specs=pl.BlockSpec((G, P, P * P), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xyz[0], xyz[1], xyz[2], value)
@@ -295,6 +328,7 @@ def _pic_step_kernel(q_ref, qm_ref, tvec_ref, svec_ref, pos_ref, vel_ref,
                      order_acc=1, order_distr=1, e_ext=(0.0, 0.0, 0.0),
                      boris=False, e_merged=False):
     s = pl.program_id(1)
+    j = pl.program_id(2)
     q = q_ref[0, s]
     qm = qm_ref[0, s]
     boris_ts = None
@@ -344,11 +378,11 @@ def _pic_step_kernel(q_ref, qm_ref, tvec_ref, svec_ref, pos_ref, vel_ref,
             wxn, wyzn, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        @pl.when(s == 0)
+        @pl.when((s == 0) & (j == 0))
         def _():
             tiles_ref[gsl, :, :] = dep[None]
 
-        @pl.when(s != 0)
+        @pl.when((s != 0) | (j != 0))
         def _():
             tiles_ref[gsl, :, :] += dep[None]
 
@@ -357,8 +391,16 @@ def _pic_step_kernel(q_ref, qm_ref, tvec_ref, svec_ref, pos_ref, vel_ref,
 
     vdot, bad = jax.lax.fori_loop(
         0, G, tile_body, (jnp.float32(0), jnp.float32(0)))
-    ke_ref[...] = jnp.zeros_like(ke_ref) + vdot
-    nout_ref[...] = jnp.zeros_like(nout_ref) + bad
+
+    @pl.when(j == 0)
+    def _():
+        ke_ref[...] = jnp.zeros_like(ke_ref) + vdot
+        nout_ref[...] = jnp.zeros_like(nout_ref) + bad
+
+    @pl.when(j != 0)
+    def _():
+        ke_ref[...] += vdot
+        nout_ref[...] += bad
 
 
 def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
@@ -425,15 +467,20 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
         s_arr = jnp.zeros((3, S), jnp.float32)
     e_ext_t = (0.0, 0.0, 0.0) if e_ext is None else tuple(
         float(v) for v in e_ext)
-    smem = pl.BlockSpec((1, S), lambda i, s: (0, 0),
+    # lane chunking (grid dim j, fastest): keeps the dense (G, B) row
+    # layout while bounding VMEM for large-B decks (e.g. nAlloc=96pc at
+    # 32^3 -> B=61440).  J=1 (no chunking) at the bench point.
+    J = _lane_chunks(B, 13, G)
+    CB = B // J
+    smem = pl.BlockSpec((1, S), lambda i, s, j: (0, 0),
                         memory_space=pltpu.SMEM)
-    smem3 = pl.BlockSpec((3, S), lambda i, s: (0, 0),
+    smem3 = pl.BlockSpec((3, S), lambda i, s, j: (0, 0),
                          memory_space=pltpu.SMEM)
-    svec = pl.BlockSpec((1, 3, G, B), lambda i, s: (s, 0, i, 0),
+    svec = pl.BlockSpec((1, 3, G, CB), lambda i, s, j: (s, 0, i, j),
                         memory_space=pltpu.VMEM)
-    srow = pl.BlockSpec((1, G, B), lambda i, s: (s, i, 0),
+    srow = pl.BlockSpec((1, G, CB), lambda i, s, j: (s, i, j),
                         memory_space=pltpu.VMEM)
-    sacc = pl.BlockSpec((1, 1, 1, 128), lambda i, s: (s, i, 0, 0),
+    sacc = pl.BlockSpec((1, 1, 1, 128), lambda i, s, j: (s, i, 0, 0),
                         memory_space=pltpu.VMEM)
 
     tiles, pos_o, vel_o, ke, nout = pl.pallas_call(
@@ -446,13 +493,15 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
                    jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((S, NI, 1, 128), jnp.float32),
                    jax.ShapeDtypeStruct((S, NI, 1, 128), jnp.float32)),
-        grid=(NI, S),
+        grid=(NI, S, J),
         in_specs=[smem, smem, smem3, smem3, svec, svec, srow,
-                  (pl.BlockSpec((G, C * P, P * P), lambda i, s: (i, 0, 0),
+                  (pl.BlockSpec((G, C * P, P * P),
+                                lambda i, s, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM) if e_merged else
-                   pl.BlockSpec((G, C, P, P * P), lambda i, s: (i, 0, 0, 0),
+                   pl.BlockSpec((G, C, P, P * P),
+                                lambda i, s, j: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM))],
-        out_specs=(pl.BlockSpec((G, P, P * P), lambda i, s: (i, 0, 0),
+        out_specs=(pl.BlockSpec((G, P, P * P), lambda i, s, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    svec, svec, sacc, sacc),
         interpret=interpret,

@@ -112,6 +112,18 @@ class TiledSimulation(Simulation):
         # that transfer is ~1 GB through the device tunnel and dominated
         # setup time; the 99.9th percentile of a 500k sample is stable
         ns = cfg.get_int("population:nspecies")
+        # floor the per-species velocity scale by the deck's (normalized)
+        # thermalVelocity: cold-start decks (pVelZero, langmuirCold) have
+        # zero SAMPLED velocities, but the Langmuir oscillation develops
+        # thermal-scale velocities within an oscillation period — a
+        # cadence sized from the zero sample never re-buckets and sheds
+        # particles once the wave grows
+        vth_cfg = (cfg.get_double_arr("population:thermalvelocity", ns)
+                   if "population:thermalvelocity" in cfg else [0.0] * ns)
+        dr_cfg = (cfg.get_double_arr("population:drift", ns)
+                  if "population:drift" in cfg else [0.0] * ns)
+        floor_s = [(3.29 * abs(vth_cfg[s]) + abs(dr_cfg[s])) * 1.5
+                   for s in range(ns)]
         if self.particles is not None:
             N_cap = self.particles.vel.shape[1]
             stride = max(1, N_cap // 500_000)
@@ -120,8 +132,9 @@ class TiledSimulation(Simulation):
             vmax_s = []
             for s in range(ns):
                 vs = vel_np[s][alive_np[s]]
-                vmax_s.append(max(float(np.percentile(vs, 99.9)) * 1.5
-                                  if vs.size else 0.0, 1e-3))
+                measured = (float(np.percentile(vs, 99.9)) * 1.5
+                            if vs.size else 0.0)
+                vmax_s.append(max(measured, floor_s[s], 1e-3))
         else:
             # deferred flat init: the same 99.9th-percentile * 1.5
             # statistic analytically (3.29 sigma for a Maxwellian)
@@ -133,6 +146,21 @@ class TiledSimulation(Simulation):
                       for s in range(ns)]
         vmax_est = max(vmax_s)
         M = cfg.get_int("tiles:margin", 1 if 1.0 / vmax_est >= 4 else 2)
+        # design envelope: a particle must stay inside the wander margin
+        # for at least one step (cadence >= 1), i.e. per-step displacement
+        # <= M cells.  Beyond that the +-1-tile exchange can never catch
+        # up with the drift and physics silently degrades (weight-0
+        # deposits, stranded particles) — raise instead, like the
+        # reference's pVelAssertMax guard (src/population.c:316-340), and
+        # point at the flat layout / a coarser stepSize.
+        if vmax_est > max(M, 2):
+            raise ValueError(
+                f"tiled layout: estimated per-step particle displacement "
+                f"({vmax_est:.2f} cells) exceeds the wander margin "
+                f"(tiles:margin={M}); this deck is outside the tiled "
+                f"layout's envelope — use methods:layout=flat or a "
+                f"coarser grid:stepSize (velocities are normalized by "
+                f"the cell size)")
         # kernel MXU+VPU cycles scale with the SLOT count NT*B, not the
         # live count, so head-room is paid for every step: 1.25 default,
         # with overflow counted and rebucketing cheap enough to trigger

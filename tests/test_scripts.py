@@ -135,3 +135,20 @@ nCoarseSolve = 10
     assert rc == 0
     best = json.loads(out.read_text())
     assert best["seconds"] > 0 and best["best"]["levels"] == 3
+
+
+def test_simple_plot_script(outdir, tmp_path):
+    mod = _load(REPO / "script/plot/simple_plot.py")
+    out = tmp_path / "sp.png"
+    rc = mod.main([str(outdir / "history.xy.h5"),
+                   "/energy/kinetic/total", str(out)])
+    assert rc in (0, None)
+    assert out.exists()
+
+
+def test_grid_contourf_script(outdir, tmp_path):
+    mod = _load(REPO / "script/plot/grid_contourf.py")
+    out = tmp_path / "cf.png"
+    rc = mod.main([str(outdir / "phi.grid.h5"), "0", "2", "1", str(out)])
+    assert rc in (0, None)
+    assert out.exists()
