@@ -57,6 +57,11 @@ for c in range(STEPS // CH):
     tot = ke.sum(axis=1) + pes[-1]
     print(f"chunk {c:3d}: E={tot[-1]:.6e} drops_cum={drops} "
           f"({time.monotonic()-t0:.0f}s)", flush=True)
+    # incremental save: a long run killed mid-flight keeps its curve
+    done = np.concatenate(kes).sum(axis=1) + np.concatenate(pes)
+    np.save(os.path.join(HERE, "results", "tpu_drift_curve.npy"),
+            np.stack([np.arange(1, len(done) + 1, dtype=np.float64),
+                      done]))
     if sim.retune(st):
         run_ch = sim.make_scan_steps(CH)
 ke = np.concatenate(kes).sum(axis=1)

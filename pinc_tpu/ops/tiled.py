@@ -81,16 +81,31 @@ def tile_origins(ts: TileSpec) -> jax.Array:
 # Bucketing: global positions -> per-tile slots (sort + gather, no scatter)
 # ---------------------------------------------------------------------------
 
+_SLOT_ORDER_CACHE: dict = {}
+
+
 def _slot_order(B: int) -> np.ndarray:
-    """Within-tile slot assignment order: ROW-CYCLIC when B % 8 == 0
-    (slot r*L + c receives the (c*8 + r)-th particle of the tile), so
-    occupancy — and therefore FREE slots — spreads evenly over the 8
-    sublane rows of the (8, B/8) kernel view.  The per-row exchange
-    kernels (ops/pallas_exchange v4) merge arrivals into free slots of
-    their own row; a compact prefix layout starves the busy rows."""
+    """Within-tile slot assignment order: a FIXED pseudo-random
+    permutation when B % 8 == 0, so occupancy — and therefore FREE
+    slots — spreads evenly over the 8 sublane rows of the (8, B/8)
+    kernel view.  The per-row exchange kernels (ops/pallas_exchange v4)
+    merge arrivals into free slots of their own row; a compact prefix
+    layout starves the busy rows.
+
+    Pseudo-random rather than exactly row-cyclic: structured inputs
+    correlate particle order with POSITION (the lattice IC sweeps x
+    fastest, so a cyclic map sends each tile's whole x=0 boundary plane
+    into row 0 — that row's first-exchange leavers overflow the per-row
+    face cap and ~0.4% of the population was shed in step 1).  A fixed
+    permutation decorrelates any input ordering; per-row occupancy is
+    then Binomial(count, 1/8) — tightly balanced at production sizes."""
     if B % 8:
         return np.arange(B)
-    return np.arange(B).reshape(B // 8, 8).T.reshape(-1)
+    order = _SLOT_ORDER_CACHE.get(B)
+    if order is None:
+        order = np.random.default_rng(0x5107 ^ B).permutation(B)
+        _SLOT_ORDER_CACHE[B] = order
+    return order
 
 
 def bucket(pos: jax.Array, vel: jax.Array, alive: jax.Array,
