@@ -80,13 +80,14 @@ class ShardedTiledSimulation(TiledSimulation):
         from .pencil_fft import make_sharded_solver
         self._solve = make_sharded_solver(self.solver, ctx, cfg,
                                           self.spec.dtype)
-        self._tstep_jit = jax.jit(self._sharded_tiled_step,
-                                  donate_argnums=(0,))
-        self._thalf_jit = jax.jit(self._sharded_tiled_half_kick,
-                                  donate_argnums=(0,))
-        self._rebucket_jit = jax.jit(self._sharded_rebucket,
-                                     donate_argnums=(0,),
-                                     static_argnames=("species",))
+        from ..tiled_sim import _jit
+        self._tstep_jit = _jit(self._sharded_tiled_step,
+                               donate_argnums=(0,))
+        self._thalf_jit = _jit(self._sharded_tiled_half_kick,
+                               donate_argnums=(0,))
+        self._rebucket_jit = _jit(self._sharded_rebucket,
+                                  donate_argnums=(0,),
+                                  static_argnames=("species",))
         if self.objects is not None:
             # per-device static near-object tile subsets (the single-chip
             # dilated mask, cut per mesh block and padded to the max count
@@ -121,10 +122,10 @@ class ShardedTiledSimulation(TiledSimulation):
                         pad[i, j, k, :len(a)] = a
             self._obj_tiles_sharded = jax.device_put(
                 jnp.asarray(pad), ctx.sharding(P(*ctx.axes, None)))
-            self._tstep_obj_jit = jax.jit(self._tiled_step_obj,
-                                          donate_argnums=(0,))
-            self._thalf_obj_jit = jax.jit(self._tiled_half_kick_obj,
-                                          donate_argnums=(0,))
+            self._tstep_obj_jit = _jit(self._tiled_step_obj,
+                                       donate_argnums=(0,))
+            self._thalf_obj_jit = _jit(self._tiled_half_kick_obj,
+                                       donate_argnums=(0,))
         msg(STATUS, "sharded tiled layout: %s device mesh over %s tiles",
             ctx.n_subdomains, self.ts.ntiles)
 

@@ -26,10 +26,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Scoped-VMEM ceiling for compiles that trace the tiled Pallas kernels:
+# the pic_step stack at the production bucket (B=17408, J=1) measures
+# ~16.2 MiB — just over libtpu's 16 MiB default, and the exact figure
+# wobbles with XLA's scheduling between otherwise-identical compiles —
+# so every jit that can contain the kernels raises the per-compile limit
+# instead of gambling on the default (the OOM is a compile-time error).
+_SCOPED_VMEM_KIB = 24576
+
+
+def _jit(fn, **kw):
+    """jax.jit that raises the scoped-VMEM limit on TPU compiles."""
+    if jax.default_backend() == "tpu":
+        opts = dict(kw.pop("compiler_options", None) or {})
+        opts.setdefault("xla_tpu_scoped_vmem_limit_kib",
+                        str(_SCOPED_VMEM_KIB))
+        kw["compiler_options"] = opts
+    return jax.jit(fn, **kw)
+
+
 def _jit_maybe_donate(fn, donate):
     """Scan drivers optionally donate their input state (the bench path:
     the caller must treat the passed state as consumed)."""
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    return _jit(fn, donate_argnums=(0,) if donate else ())
 
 
 from .config import PincConfig
@@ -276,15 +295,15 @@ class TiledSimulation(Simulation):
             self.state = self._bucket_all(self.particles)
             if cap_all * ns > 32_000_000:
                 self.particles = None
-        self._tstep_jit = jax.jit(self._tiled_step, donate_argnums=(0,))
-        self._thalf_jit = jax.jit(self._tiled_half_kick, donate_argnums=(0,))
+        self._tstep_jit = _jit(self._tiled_step, donate_argnums=(0,))
+        self._thalf_jit = _jit(self._tiled_half_kick, donate_argnums=(0,))
         if self.objects is not None:
-            self._tstep_obj_jit = jax.jit(self._tiled_step_obj,
-                                          donate_argnums=(0,))
-            self._thalf_obj_jit = jax.jit(self._tiled_half_kick_obj,
-                                          donate_argnums=(0,))
-        self._rebucket_jit = jax.jit(self._rebucket, donate_argnums=(0,),
-                                     static_argnames=("species",))
+            self._tstep_obj_jit = _jit(self._tiled_step_obj,
+                                       donate_argnums=(0,))
+            self._thalf_obj_jit = _jit(self._tiled_half_kick_obj,
+                                       donate_argnums=(0,))
+        self._rebucket_jit = _jit(self._rebucket, donate_argnums=(0,),
+                                  static_argnames=("species",))
         msg(STATUS, "tiled layout: %s tiles of %d^%d cells, bucket=%d, "
             "margin=%d, rebucket every %d steps",
             self.ts.ntiles, T, nd, B, M, self.rebucket_every)
@@ -332,9 +351,9 @@ class TiledSimulation(Simulation):
         if ("tiles:exchangecap" not in self.cfg
                 and cap != self._exchange_cap):
             self._exchange_cap = cap
-            self._rebucket_jit = jax.jit(self._rebucket,
-                                         donate_argnums=(0,),
-                                         static_argnames=("species",))
+            self._rebucket_jit = _jit(self._rebucket,
+                                      donate_argnums=(0,),
+                                      static_argnames=("species",))
             changed = True
         return changed
 
@@ -348,7 +367,7 @@ class TiledSimulation(Simulation):
         S = p.n_species
         D, NT, B = self.ts.n_dims, self.ts.NT, self.ts.B
 
-        bucket_jit = jax.jit(tl.bucket, static_argnums=(3,))
+        bucket_jit = _jit(tl.bucket, static_argnums=(3,))
 
         @_partial(jax.jit, static_argnums=(1,), donate_argnums=(0, 2))
         def set_vec(big, s, small):
@@ -389,10 +408,10 @@ class TiledSimulation(Simulation):
         def set_row(big, s, small):
             return big.at[s].set(small.astype(jnp.float32))
 
-        bucket_pos_jit = jax.jit(tl.bucket_positions, static_argnums=(2,),
-                                 donate_argnums=(0,))
-        bucket_pay_jit = jax.jit(tl.bucket_payload, static_argnums=(2,),
-                                 donate_argnums=(1,))
+        bucket_pos_jit = _jit(tl.bucket_positions, static_argnums=(2,),
+                              donate_argnums=(0,))
+        bucket_pay_jit = _jit(tl.bucket_payload, static_argnums=(2,),
+                              donate_argnums=(1,))
         lpos = jnp.zeros((S, D, NT, B), jnp.float32)
         vel = jnp.zeros((S, D, NT, B), jnp.float32)
         alive = jnp.zeros((S, NT, B), jnp.float32)
@@ -1092,7 +1111,12 @@ class TiledSimulation(Simulation):
         # the spectral solve running on the permuted shape (the FFT is
         # axis-order agnostic) so phi feeds efield_tiles transpose-free
         from .solvers.spectral import SpectralSolver
-        use_fk = (use_ek and ts.T > 2 * ts.M + 1
+        # margin 1 only: at M >= 2 the z-fold's head/tail concat hits a
+        # Mosaic limitation ("result/input offset mismatch on non-concat
+        # dimension" — 2M+1-lane tails no longer tile the 8-sublane
+        # quantum); those decks take the XLA fold below, whose cost the
+        # larger-margin layouts amortize anyway (fewer, bigger tiles)
+        use_fk = (use_ek and ts.M == 1 and ts.T > 2 * ts.M + 1
                   and isinstance(self.solver, SpectralSolver))
         if use_fk:
             nx, ny, nz = ts.grid
