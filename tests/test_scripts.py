@@ -152,3 +152,10 @@ def test_grid_contourf_script(outdir, tmp_path):
     rc = mod.main([str(outdir / "phi.grid.h5"), "0", "2", "1", str(out)])
     assert rc in (0, None)
     assert out.exists()
+
+
+def test_pumode_verification_script(tmp_path):
+    mod = _load(REPO / "verification/pumode.py")
+    rc = mod.main(["interp", "--plot", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "pumode_interp.png").exists()
