@@ -209,6 +209,7 @@ def _deposit_move_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
                          alive_ref, out_ref, xo_ref, yo_ref, zo_ref,
                          nout_ref, *, P, M, T, q, mxu_dtype, G, order=1):
     lo, hi = -float(M), float(T + M)
+    j = pl.program_id(1)
 
     def tile_body(g, bad_acc):
         sl = (pl.ds(g, 1), slice(None))
@@ -227,11 +228,26 @@ def _deposit_move_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
         acc = jax.lax.dot_general(
             wx, wyz, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[pl.ds(g, 1), :, :] = acc[None]
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[pl.ds(g, 1), :, :] = acc[None]
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[pl.ds(g, 1), :, :] += acc[None]
+
         return bad_acc + jnp.sum(bad)
 
     total = jax.lax.fori_loop(0, G, tile_body, jnp.float32(0))
-    nout_ref[...] = jnp.zeros_like(nout_ref) + total
+
+    @pl.when(j == 0)
+    def _():
+        nout_ref[...] = jnp.zeros_like(nout_ref) + total
+
+    @pl.when(j != 0)
+    def _():
+        nout_ref[...] += total
 
 
 def deposit_move(xyz: jax.Array, vel: jax.Array, alive: jax.Array,
@@ -247,6 +263,11 @@ def deposit_move(xyz: jax.Array, vel: jax.Array, alive: jax.Array,
     _, NT, B = xyz.shape
     P = ts.P
     G = _tiles_per_step(NT, tiles_per_step)
+    # lane chunking for large-B buckets (10 row blocks: 7 in + 3 out)
+    J = _lane_chunks(B, 10, G)
+    CB = B // J
+    row = pl.BlockSpec((G, CB), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM)
 
     tiles, xo, yo, zo, nout = pl.pallas_call(
         partial(_deposit_move_kernel, P=P, M=ts.M, T=ts.T,
@@ -257,12 +278,12 @@ def deposit_move(xyz: jax.Array, vel: jax.Array, alive: jax.Array,
                    jax.ShapeDtypeStruct((NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((NT // G, 1, 128),
                                         jnp.float32)),
-        grid=(NT // G,),
-        in_specs=_row_specs(NT, B, G, 7),
-        out_specs=(pl.BlockSpec((G, P, P * P), lambda i: (i, 0, 0),
+        grid=(NT // G, J),
+        in_specs=[row] * 7,
+        out_specs=(pl.BlockSpec((G, P, P * P), lambda i, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   *_row_specs(NT, B, G, 3),
-                   pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                   row, row, row,
+                   pl.BlockSpec((1, 1, 128), lambda i, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(xyz[0], xyz[1], xyz[2], vel[0], vel[1], vel[2], alive)
@@ -306,6 +327,11 @@ def gather(field_pad: jax.Array, xyz: jax.Array, ts: TileSpec,
     P = ts.P
     C = field_pad.shape[-1]
     G = _tiles_per_step(NT, tiles_per_step)
+    # lane chunking for large-B buckets (6 row blocks: 3 in + C out)
+    J = _lane_chunks(B, 3 + C, G)
+    CB = B // J
+    row = pl.BlockSpec((G, CB), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM)
 
     # component-major field tiles: (NT, C, P, P^2)
     E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
@@ -313,11 +339,11 @@ def gather(field_pad: jax.Array, xyz: jax.Array, ts: TileSpec,
         partial(_gather_kernel, P=P, M=ts.M, C=C, mxu_dtype=mxu_dtype, G=G,
                 order=order),
         out_shape=jax.ShapeDtypeStruct((C, NT, B), jnp.float32),
-        grid=(NT // G,),
-        in_specs=[*_row_specs(NT, B, G, 3),
-                  pl.BlockSpec((G, C, P, P * P), lambda i: (i, 0, 0, 0),
+        grid=(NT // G, J),
+        in_specs=[row, row, row,
+                  pl.BlockSpec((G, C, P, P * P), lambda i, j: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((C, G, B), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((C, G, CB), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xyz[0], xyz[1], xyz[2], E)
@@ -563,6 +589,8 @@ def _gather_kick_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
                         alive_ref, e_ref, vxo_ref, vyo_ref, vzo_ref,
                         ke_ref, *, P, M, C, qm, mxu_dtype, G, order=1,
                         e_ext=(0.0, 0.0, 0.0), boris=None):
+    j = pl.program_id(1)
+
     def tile_body(g, vdot_acc):
         E_all = e_ref[g, :, :, :].reshape(C * P, P * P).astype(mxu_dtype)
         sl = (pl.ds(g, 1), slice(None))
@@ -581,7 +609,14 @@ def _gather_kick_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
         return vdot_acc + jnp.sum(vdot * alive)
 
     total = jax.lax.fori_loop(0, G, tile_body, jnp.float32(0))
-    ke_ref[...] = jnp.zeros_like(ke_ref) + total
+
+    @pl.when(j == 0)
+    def _():
+        ke_ref[...] = jnp.zeros_like(ke_ref) + total
+
+    @pl.when(j != 0)
+    def _():
+        ke_ref[...] += total
 
 
 def gather_kick(field_pad: jax.Array, xyz: jax.Array, vel: jax.Array,
@@ -611,6 +646,11 @@ def gather_kick(field_pad: jax.Array, xyz: jax.Array, vel: jax.Array,
         tuple(float(v) for v in boris[0]), tuple(float(v) for v in boris[1]))
 
     E = jnp.moveaxis(field_pad, -1, 1).reshape(NT, C, P, P * P)
+    # lane chunking for large-B buckets (10 row blocks: 7 in + 3 out)
+    J = _lane_chunks(B, 10, G)
+    CB = B // J
+    row = pl.BlockSpec((G, CB), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM)
     vxo, vyo, vzo, ke = pl.pallas_call(
         partial(_gather_kick_kernel, P=P, M=ts.M, C=C, qm=float(qm),
                 mxu_dtype=mxu_dtype, G=G, order=order, e_ext=e_ext_t,
@@ -620,12 +660,12 @@ def gather_kick(field_pad: jax.Array, xyz: jax.Array, vel: jax.Array,
                    jax.ShapeDtypeStruct((NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((NT // G, 1, 128),
                                         jnp.float32)),
-        grid=(NT // G,),
-        in_specs=[*_row_specs(NT, B, G, 7),
-                  pl.BlockSpec((G, C, P, P * P), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(*_row_specs(NT, B, G, 3),
-                   pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+        grid=(NT // G, J),
+        in_specs=[row] * 7 + [
+            pl.BlockSpec((G, C, P, P * P), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(row, row, row,
+                   pl.BlockSpec((1, 1, 128), lambda i, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(xyz[0], xyz[1], xyz[2], vel[0], vel[1], vel[2], alive, E)

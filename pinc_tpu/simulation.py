@@ -363,7 +363,12 @@ class Simulation:
 @RUN_MODES.register("regular")
 def _regular_factory(cfg: PincConfig):
     def run(argv_overrides=()):
-        sim = Simulation(cfg)
+        # honor methods:layout and grid:nSubdomains from the CLI — the
+        # factory picks flat/tiled x single/sharded exactly like the
+        # reference binary's np decision (mpinc.sh:20-29); Simulation(cfg)
+        # directly here used to silently run every deck flat single-device
+        from .parallel.pic import make_simulation
+        sim = make_simulation(cfg)
         writer = None
         if "files:output" in cfg:
             from .io_h5 import OutputWriter

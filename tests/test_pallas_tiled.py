@@ -125,3 +125,38 @@ def test_pic_step_matches_kernel_pair(setup):
         assert abs(float(nout[s]) - n_ref) < 0.5
     np.testing.assert_allclose(np.asarray(tiles), np.asarray(tiles_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_lane_chunked_kernels_match_unchunked(setup, monkeypatch):
+    """J > 1 lane chunking (large-B VMEM guard) is numerically invisible:
+    force J=2 on gather / deposit_move / gather_kick and compare against
+    the unchunked outputs."""
+    ts, lp, la, rng = setup
+    xyz = jnp.moveaxis(lp, -1, 0)
+    vel = jnp.asarray(rng.normal(scale=0.3, size=xyz.shape)
+                      .astype(np.float32))
+    alive_f = la.astype(jnp.float32)
+    E = jnp.asarray(rng.normal(size=(16, 16, 16, 3)).astype(np.float32))
+    Ep = pad_tiles(E, ts).reshape(ts.NT, ts.P, ts.P, ts.P, 3)
+
+    base_g = np.asarray(pt.gather(Ep, xyz, ts, interpret=True))
+    base_t, base_x, base_n = pt.deposit_move(xyz, vel, alive_f, -1.7, ts,
+                                             interpret=True)
+    base_v, base_ke = pt.gather_kick(Ep, xyz, vel, alive_f, 0.5, ts,
+                                     interpret=True)
+
+    monkeypatch.setattr(pt, "_lane_chunks", lambda B, n_rows, G: 2)
+    chnk_g = np.asarray(pt.gather(Ep, xyz, ts, interpret=True))
+    chnk_t, chnk_x, chnk_n = pt.deposit_move(xyz, vel, alive_f, -1.7, ts,
+                                             interpret=True)
+    chnk_v, chnk_ke = pt.gather_kick(Ep, xyz, vel, alive_f, 0.5, ts,
+                                     interpret=True)
+
+    np.testing.assert_allclose(chnk_g, base_g, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(chnk_t), np.asarray(base_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chnk_x), np.asarray(base_x))
+    assert float(chnk_n) == float(base_n)
+    np.testing.assert_allclose(np.asarray(chnk_v), np.asarray(base_v),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(chnk_ke), float(base_ke), rtol=1e-5)
