@@ -313,18 +313,38 @@ class ShardedSimulation(Simulation):
         return run_n
 
 
+# Above this many particle slots (capacity x species) the flat layout's
+# working set cannot fit a single chip's HBM (measured: the bepiColombo
+# allocation, 2 x 33.5M slots, peaks ~32 GiB flat vs 16 GiB on v5e) and
+# the tiled layout is selected automatically when the deck does not pin
+# methods:layout.  Same threshold as population.initialize_auto's
+# deferred on-device init.
+AUTO_TILED_SLOTS = 32_000_000
+
+
 def make_simulation(cfg: PincConfig, seed: int = 1, devices=None) -> Simulation:
     """Factory: sharded when the deck asks for >1 subdomain and devices
     allow (the mpinc.sh np decision, mpinc.sh:20-29); tiled layout when
-    methods:layout = tiled; plain single-block otherwise."""
+    methods:layout = tiled, or automatically for single-device decks too
+    big for the flat working set; plain single-block otherwise."""
     from ..config import required_np
+    from ..population import capacity_of
     np_needed = required_np(cfg)
-    tiled = cfg.get_str("methods:layout", "flat").lower() == "tiled"
+    layout = cfg.get_str("methods:layout", "").lower()
+    tiled = layout == "tiled"
     if np_needed > 1:
         if tiled:
             from .tiled_pic import ShardedTiledSimulation
             return ShardedTiledSimulation(cfg, seed=seed, devices=devices)
         return ShardedSimulation(cfg, seed=seed, devices=devices)
+    if not layout and (capacity_of(cfg)
+                       * cfg.get_int("population:nspecies")
+                       > AUTO_TILED_SLOTS):
+        msg(STATUS, "auto-selected methods:layout=tiled (%d particle "
+            "slots exceed the flat layout's single-chip working set); "
+            "pin methods:layout=flat to override",
+            capacity_of(cfg) * cfg.get_int("population:nspecies"))
+        tiled = True
     if tiled:
         from ..tiled_sim import TiledSimulation
         return TiledSimulation(cfg, seed=seed)

@@ -365,11 +365,24 @@ def wants_device_init(cfg: PincConfig) -> bool:
 
 
 def capacity_of(cfg: PincConfig) -> int:
+    """Largest per-species slot capacity the deck asks for.  Suffix-aware:
+    callable both before normalization (raw '128 pc' strings — e.g.
+    make_simulation's layout auto-selection) and after (parse_indirect_input
+    has already multiplied the values in place)."""
+    from .config import global_volume
     ns = cfg.get_int("population:nspecies")
     n_alloc_key = ("population:nalloc" if "population:nalloc" in cfg
                    else "population:nparticles")
-    n_alloc = [int(v) for v in cfg.get_double_arr(n_alloc_key, ns)]
-    n_part = [int(v) for v in cfg.get_double_arr("population:nparticles", ns)]
+
+    def expanded(key):
+        vals = cfg.get_double_arr(key, ns)
+        if "pc" in cfg.get_str(key):
+            V = global_volume(cfg)
+            return [v * V for v in vals]
+        return vals
+
+    n_alloc = [int(v) for v in expanded(n_alloc_key)]
+    n_part = [int(v) for v in expanded("population:nparticles")]
     return max(max(n_alloc), max(n_part))
 
 

@@ -164,3 +164,18 @@ def test_make_simulation_dispatch(cpu_devices):
         DECK_3D.format(steps=1, nsub="2,1,1", ts="8,8,8", solver="sSolve"))
     assert isinstance(make_simulation(cfg2, devices=cpu_devices),
                       ShardedSimulation)
+
+
+def test_make_simulation_auto_tiled(monkeypatch):
+    """Single-device decks whose slot count exceeds the flat working set
+    auto-select the tiled layout unless methods:layout pins it."""
+    from pinc_tpu.parallel import pic
+    from pinc_tpu.tiled_sim import TiledSimulation
+    monkeypatch.setattr(pic, "AUTO_TILED_SLOTS", 100)
+    cfg = PincConfig.from_string(
+        DECK_3D.format(steps=1, nsub="1,1,1", ts="8,8,8", solver="sSolve"))
+    assert isinstance(pic.make_simulation(cfg), TiledSimulation)
+    cfg2 = PincConfig.from_string(
+        DECK_3D.format(steps=1, nsub="1,1,1", ts="8,8,8", solver="sSolve"))
+    cfg2.set_str("methods:layout", "flat")
+    assert type(pic.make_simulation(cfg2)) is Simulation
