@@ -314,12 +314,13 @@ class ShardedSimulation(Simulation):
 
 
 # Above this many particle slots (capacity x species) the flat layout's
-# working set cannot fit a single chip's HBM (measured: the bepiColombo
-# allocation, 2 x 33.5M slots, peaks ~32 GiB flat vs 16 GiB on v5e) and
-# the tiled layout is selected automatically when the deck does not pin
-# methods:layout.  Same threshold as population.initialize_auto's
-# deferred on-device init.
-AUTO_TILED_SLOTS = 32_000_000
+# working set cannot fit a single chip's HBM and the tiled layout is
+# selected automatically when the deck does not pin methods:layout.
+# Measured on the bepiColombo allocation (2 x 33.5M slots): the flat
+# half-kick peaks ~32 GiB — ~512 bytes/slot from the 8-corner CIC
+# index/weight expansions — so ~29M slots is the true ceiling of a
+# 16 GiB v5e; 24M leaves headroom for fields and IO staging.
+AUTO_TILED_SLOTS = 24_000_000
 
 
 def make_simulation(cfg: PincConfig, seed: int = 1, devices=None) -> Simulation:
