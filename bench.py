@@ -84,12 +84,26 @@ slack = 1.0625
              if layout == "tiled" else sim.make_scan_steps(steps))
     t0 = time.monotonic()
     if layout == "tiled":
-        carry, _ = run_n(carry)
+        carry, (_, _, dropped0) = run_n(carry)
     else:
         carry, _ = run_n(*carry)
+        dropped0 = 0
     jax.block_until_ready(leaf(carry))
     compile_time = time.monotonic() - t0
-    log(f"compile+first run: {compile_time:.1f}s")
+    log(f"compile+first run: {compile_time:.1f}s (dropped={int(dropped0)})")
+
+    if layout == "tiled":
+        # adaptive retune between windows (heating decks outgrow the
+        # initial cadence/cap estimates); rebuild the scan fn when the
+        # schedule changed so the timed window runs drop-free
+        if sim.retune(carry, drops=int(dropped0)):
+            run_n = sim.make_scan_steps(steps, donate=True)
+            t0 = time.monotonic()
+            carry, _ = run_n(carry)
+            jax.block_until_ready(leaf(carry))
+            log(f"retuned schedule: cadences={sim.rebucket_every_s}, "
+                f"cap={sim._exchange_cap} (recompile "
+                f"{time.monotonic()-t0:.1f}s)")
 
     t0 = time.monotonic()
     if layout == "tiled":
@@ -101,12 +115,12 @@ slack = 1.0625
     wall = time.monotonic() - t0
     psteps = n_particles * steps / wall
     log(f"{steps} steps in {wall:.3f}s -> {psteps:.3e} particle-steps/s "
-        f"(KE[-1]={float(ke[-1].sum()):.4g})")
+        f"(KE[-1]={float(ke[-1].sum()):.4g}, dropped={int(dropped)})")
     if int(dropped):
         log(f"WARNING: {int(dropped)} particle(s) dropped by re-bucket "
             f"overflow during the timed window (raise tiles:slack / "
             f"tiles:exchangeCap)")
-    return psteps
+    return psteps, int(dropped)
 
 
 def bench_solver(grid_n=128, reps=10):
@@ -218,18 +232,23 @@ def main():
     steps = 40 if on_tpu else 5
 
     solver_ms = bench_solver(grid_n=grid_n, reps=10 if on_tpu else 2)
-    psteps = bench_pic(grid_n=grid_n, ppc=ppc, steps=steps)
-
+    # HEADLINE: the Debye-resolved warm Maxwellian (lambda_D = 0.5 dx) —
+    # the physically honest reading of BASELINE.md's "128^3 warm
+    # Maxwellian" (the reference's canonical decks all resolve lambda_D,
+    # langmuirCold.ini:24); the 10k-step drift record in PARITY.md is
+    # measured at this operating point
+    psteps, dropped = bench_pic(grid_n=grid_n, ppc=ppc, steps=steps,
+                                vth="0.1,0.0023")
     aux = {f"poisson_{k}_ms_{grid_n}3": v for k, v in solver_ms.items()}
-    if on_tpu and "--skip-resolved" not in sys.argv:
-        # the kernel-bound headline deck is under-resolved (lambda_D =
-        # 0.1 dx, heats at the textbook CIC rate); also measure the
-        # Debye-resolved warm plasma (lambda_D = 0.5 dx, the regime whose
-        # 10k-step +9.4% drift PARITY.md quotes) as a first-class number
-        psteps_r = bench_pic(grid_n=grid_n, ppc=ppc, steps=steps,
-                             vth="0.1,0.0023")
-        aux["debye_resolved_psteps"] = psteps_r
-        aux["debye_resolved_vs_baseline"] = psteps_r / BASELINE_PSTEPS
+    aux["dropped_in_window"] = dropped
+    if on_tpu and "--skip-underresolved" not in sys.argv:
+        # the under-resolved deck (lambda_D = 0.1 dx, violent CIC grid
+        # heating) exercises the kernel-bound margin-1 fast path; kept
+        # as an aux number (it was the pre-round-3 headline)
+        psteps_u, dropped_u = bench_pic(grid_n=grid_n, ppc=ppc, steps=steps)
+        aux["underresolved_psteps"] = psteps_u
+        aux["underresolved_vs_baseline"] = psteps_u / BASELINE_PSTEPS
+        aux["underresolved_dropped"] = dropped_u
 
     print(json.dumps({
         "metric": "particle_steps_per_sec_per_chip",

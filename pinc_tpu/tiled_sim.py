@@ -309,29 +309,43 @@ class TiledSimulation(Simulation):
             self.ts.ntiles, T, nd, B, M, self.rebucket_every)
 
     # ------------------------------------------------------------- layout
-    def retune(self, st: Optional["TiledState"] = None) -> bool:
+    def retune(self, st: Optional["TiledState"] = None,
+               drops: int = 0) -> bool:
         """Re-estimate the per-species velocity scales from the CURRENT
         state and refresh the re-bucket cadences and the exchange face
         cap.  For long runs whose temperature evolves (grid heating, beam
         relaxation): a fixed schedule sized from the initial velocities
         eventually overflows the transfer caps as the tail grows (drops
         are counted, but a drop imbalance between species charges the
-        domain).  Call between scan windows; scan functions built after
-        the call pick up the new schedule/cap.  Returns True if anything
-        changed."""
+        domain).  Called automatically by run() after any drop/margin
+        warning and by bench/driver code between scan windows; scan
+        functions built after the call pick up the new schedule/cap.
+
+        drops: observed re-bucket drop count since the last retune — any
+        nonzero count escalates the exchange face cap 1.5x (and widens
+        the per-row cap / falls back to per-tile kernels when the rows
+        gate no longer holds), so repeated windows converge to drop-free
+        even when the velocity statistics alone underestimate the tail.
+        Returns True if anything changed (callers then rebuild scan
+        functions; the re-bucket jit is refreshed here)."""
         st = self.state if st is None else st
-        S, D, NT, B = st.vel.shape
+        S, D = st.vel.shape[:2]
+        B = st.vel.shape[-1]
+        NT = int(np.prod(st.vel.shape[2:-1]))
         stride = max(1, NT // 64)
-        vel_np = np.abs(np.asarray(st.vel[:, :, ::stride]))
-        alive_np = np.asarray(st.alive[:, ::stride]) > 0.5
+        vel_np = np.abs(np.asarray(
+            st.vel.reshape(S, D, NT, B)[:, :, ::stride]))
+        alive_np = np.asarray(
+            st.alive.reshape(S, NT, B)[:, ::stride]) > 0.5
         changed = False
         M = self.ts.M
+        v_s = [0.0] * S
         for s in range(S):
             vs = vel_np[s].reshape(D, -1)[:, alive_np[s].reshape(-1)]
             if not vs.size:
                 continue
-            v = max(float(np.percentile(vs, 99.9)) * 1.5, 1e-3)
-            R = max(1, min(int(M / v), 200))
+            v_s[s] = max(float(np.percentile(vs, 99.9)) * 1.5, 1e-3)
+            R = max(1, min(int(M / v_s[s]), 200))
             if R != self.rebucket_every_s[s]:
                 msg(STATUS, "retune: species %d re-bucket cadence %d -> %d",
                     s, self.rebucket_every_s[s], R)
@@ -342,19 +356,41 @@ class TiledSimulation(Simulation):
             msg(WARNING, "retune: cadence hit %d — the velocity scale has "
                 "outgrown margin M=%d (raise tiles:margin)",
                 self.rebucket_every, M)
-        # face cap: scale with the hottest species' drift per cadence
+        # face cap: scale with the hottest species' measured drift per
+        # cadence (cad*v ~= M by construction, but the cadence clamps at
+        # 1 leave drift > M for violently heating decks), plus a 1.5x
+        # escalation per drop report
         ppt = self._capacity * (self.ts.T ** self.ts.n_dims) \
             / self.spec.global_volume
-        cap = int(math.ceil(max(ppt, 128) * max(M, 1)
+        drift = max(max(R * v for R, v in zip(self.rebucket_every_s, v_s)),
+                    float(max(M, 1)))
+        scale = self._cap_escalation = (
+            getattr(self, "_cap_escalation", 1.0) * (1.5 if drops else 1.0))
+        cap = int(math.ceil(max(ppt, 128) * drift * scale
                             / (8.0 * self.ts.T) / 128.0)) * 128
         cap = max(128, min(cap, (self.ts.B // 8) * 8))
         if ("tiles:exchangecap" not in self.cfg
                 and cap != self._exchange_cap):
+            msg(STATUS, "retune: exchange face cap %d -> %d%s",
+                self._exchange_cap, cap,
+                " (after drops)" if drops else "")
             self._exchange_cap = cap
+            changed = True
+        if changed and "tiles:exchangerows" not in self.cfg:
+            # re-evaluate the per-row gate under the new cap: every row
+            # must absorb a worst-case burst with zero kills
+            from .ops import pallas_exchange as _pex
+            _ks = _pex.default_row_cap(self._exchange_cap, self.ts.B)
+            rows = (self.ts.B % 8 == 0
+                    and (self.ts.B - ppt) / 8.0 >= 2 * _ks)
+            if rows != self._exchange_rows:
+                msg(STATUS, "retune: per-row exchange %s",
+                    "enabled" if rows else "disabled (cap outgrew rows)")
+                self._exchange_rows = rows
+        if changed:
             self._rebucket_jit = _jit(self._rebucket,
                                       donate_argnums=(0,),
                                       static_argnames=("species",))
-            changed = True
         return changed
 
     def _bucket_all(self, p: Particles) -> TiledState:
@@ -919,6 +955,11 @@ class TiledSimulation(Simulation):
                 if int(dropped):
                     msg(WARNING, "step %d: %d particle(s) dropped by bucket "
                         "overflow (raise tiles:slack)", n, int(dropped))
+                # adaptive protection for heating decks: any drop or
+                # margin hit re-estimates the cadences/caps from the
+                # CURRENT velocities so the schedule tracks the tail
+                if int(dropped) or int(diag.n_lost):
+                    self.retune(st, drops=int(dropped))
             ke = np.asarray(diag.kin_energy)
             pe = float(diag.pot_energy)
             ke_hist.append(ke)
