@@ -80,7 +80,20 @@ slack = 1.0625
     log(f"setup: {grid_n}^3 grid, {n_particles:,} particles, "
         f"layout={layout} ({time.monotonic()-t0:.1f}s)")
 
-    run_n = (sim.make_scan_steps(steps, donate=True)
+    if layout == "tiled":
+        # size the window to the slow species' re-bucket cadence: every
+        # species is then freshly re-bucketed at window boundaries
+        # (including in-window, at the window's own end), which unlocks
+        # the per-step margin schedule (make_scan_steps fresh=True) and
+        # keeps back-to-back windows honest — each window carries ALL of
+        # its own re-bucket cost
+        Rs = sim.rebucket_every_s
+        Ri, Re = max(Rs), min(Rs)
+        if Ri % Re == 0 and Ri <= 400:
+            steps = Ri * max(1, round(steps / Ri))
+        log(f"window: {steps} steps (cadences {Rs})")
+
+    run_n = (sim.make_scan_steps(steps, donate=True, fresh=True)
              if layout == "tiled" else sim.make_scan_steps(steps))
     t0 = time.monotonic()
     if layout == "tiled":
@@ -97,7 +110,11 @@ slack = 1.0625
         # initial cadence/cap estimates); rebuild the scan fn when the
         # schedule changed so the timed window runs drop-free
         if sim.retune(carry, drops=int(dropped0)):
-            run_n = sim.make_scan_steps(steps, donate=True)
+            Rs = sim.rebucket_every_s
+            Ri, Re = max(Rs), min(Rs)
+            if Ri % Re == 0 and Ri <= 400:
+                steps = Ri * max(1, round(steps / Ri))
+            run_n = sim.make_scan_steps(steps, donate=True, fresh=True)
             t0 = time.monotonic()
             carry, _ = run_n(carry)
             jax.block_until_ready(leaf(carry))

@@ -50,6 +50,51 @@ def _chunk(B: int, target: int = 2048) -> int:
     return max(c, 1)
 
 
+# Default-precision f32 dots run ONE bf16 MXU pass on v5e: inputs are
+# bf16-ROUNDED before multiplying.  That is exact for 0/1 operands (the
+# one-hot/triangular scan matrices, and per-128-block counts <= 256), but
+# silently corrupts any dot whose operands carry real payloads (particle
+# coordinates) or integer counts > 256 (the cross-sublane carry totals:
+# 301 -> 300 made two lanes share a free rank and DUPLICATED an arrival —
+# bisected 2026-08-18 from a negative drop count).
+#
+# The payload selection/placement dots use a MANUAL bf16x3 split (see
+# _select_dot): Mosaic lowers only DEFAULT (1 bf16 pass) and HIGHEST
+# (6 passes, whose staging pushed the extract kernel past the scoped-
+# VMEM limit), so the three passes are issued explicitly.  The tiny
+# cross-sublane carry matmul uses HIGHEST outright.
+_EXACT_SMALL = jax.lax.Precision.HIGHEST
+
+
+def _select_dot(pay, onehot, dims):
+    """Bit-exact f32 payload selection matmul against a 0/1 one-hot.
+
+    Each output element is ONE payload value (times a 0/1 entry), so a
+    3-way mantissa split — hi/mid/lo bf16-valued f32 chunks covering all
+    24 f32 mantissa bits, each exact under the single-pass bf16 MXU
+    default — reconstructs the payload bit-exactly: the residual
+    subtractions are exact (Sterbenz), and hi + mid + lo re-sums without
+    rounding (non-overlapping mantissa segments).
+
+    Caveat: under interpret=True ON A TPU BACKEND the XLA algebraic
+    simplifier re-fuses dot(hi,c)+dot(mid,c)+dot(lo,c) back into one
+    default-precision dot and the split is lost — interpret mode is only
+    exact on CPU (where the tests run).  The compiled Mosaic path never
+    goes through the XLA simplifier, so the three passes survive there;
+    validated on hardware by script/validate_tpu.py's velocity-multiset
+    check."""
+    hi = pay.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = pay - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid
+    out = None
+    for part in (hi, mid, lo):
+        d = jax.lax.dot_general(part, onehot, dims,
+                                preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
+
+
 # ---------------------------------------------------------------------------
 # rank builds: two-level scan (within-chunk triangular matmul + chunk carry)
 # ---------------------------------------------------------------------------
@@ -105,13 +150,13 @@ def _tri_incl(b, dtype=jnp.float32):
 
 
 def _scan_lanes_rows(m):
-    """(8, L) f32 0/1 -> per-ROW inclusive prefix along lanes (rows are
+    """(R, L) f32 0/1 -> per-ROW inclusive prefix along lanes (rows are
     independent — no cross-sublane carry).  Exact for counts."""
     L = m.shape[-1]
     nb = L // 128
     rem = L - nb * 128
     out_blocks = []
-    running = jnp.zeros((8, 1), jnp.float32)
+    running = jnp.zeros((m.shape[0], 1), jnp.float32)
     u128 = _tri_incl(128)
     for b in range(nb):
         blk = m[:, b * 128:(b + 1) * 128]
@@ -140,7 +185,8 @@ def _scan_lanes_8(m):
     j = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
     strict = (j < i).astype(jnp.float32)
     base = jax.lax.dot_general(strict, running, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_EXACT_SMALL)
     return scanned + base
 
 
@@ -173,9 +219,8 @@ def _extract_fused_kernel(coord_ref, alive_ref, *plane_refs_out, K, T, L):
         pay = jnp.concatenate(
             [r[0][s:s + 1, :] for r in plane_refs] + [ones, zeros],
             axis=0)                                    # (8, L)
-        acc = acc + jax.lax.dot_general(
-            pay, onehot_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        acc = acc + _select_dot(
+            pay, onehot_t, (((1,), (1,)), ((), ())))
     buf_ref[0] = acc
 
 
@@ -239,9 +284,8 @@ def _extract_rows_kernel(coord_ref, alive_ref, *plane_refs_out, Ks, T, L):
         pay = jnp.concatenate(
             [r[0][s:s + 1, :] for r in plane_refs] + [ones, zeros],
             axis=0)                                    # (8, L)
-        buf_ref[0, :, s * K2:(s + 1) * K2] = jax.lax.dot_general(
-            pay, onehot_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (8, 2Ks)
+        buf_ref[0, :, s * K2:(s + 1) * K2] = _select_dot(
+            pay, onehot_t, (((1,), (1,)), ((), ())))        # (8, 2Ks)
 
 
 def extract_rows(coord: jax.Array, alive: jax.Array,
@@ -301,9 +345,8 @@ def _merge_rows_kernel(alive_ref, inc_ref, *plane_refs_out, Ks, L):
         @pl.when(has)
         def _(s=s, inc_s=inc_s, vrank=vrank, valid=valid, frank_s=frank_s):
             onehot = ((vrank == frank_s) & valid).astype(jnp.float32)
-            placed = jax.lax.dot_general(
-                inc_s, onehot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (8, L)
+            placed = _select_dot(
+            inc_s, onehot, (((1,), (0,)), ((), ())))     # (8, L)
             hit = placed[6:7, :] > 0.5
             for c in range(n_pl):
                 out_refs[c][0, s:s + 1, :] = jnp.where(
@@ -375,9 +418,8 @@ def _extract_kernel(rank_ref, alive_ref, *plane_refs_out, K2, CB):
     # both operands (the same A@B^T form the deposit kernel uses).
     kidx = jax.lax.broadcasted_iota(jnp.int32, (K2, CB), 0)
     onehot_t = (kidx == rank[None, :]).astype(jnp.float32)   # (K2, CB)
-    buf_ref[0, :, :] += jax.lax.dot_general(
-        pay, onehot_t, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    buf_ref[0, :, :] += _select_dot(
+            pay, onehot_t, (((1,), (1,)), ((), ())))
 
 
 def extract(rank: jax.Array, alive: jax.Array, planes: Tuple[jax.Array, ...],
@@ -450,9 +492,8 @@ def _merge_fused_kernel(alive_ref, inc_ref, *plane_refs_out, K, L):
         @pl.when(has)
         def _(s=s, frank_s=frank_s):
             onehot = ((vrank == frank_s) & valid).astype(jnp.float32)
-            placed = jax.lax.dot_general(
-                inc, onehot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (8, L)
+            placed = _select_dot(
+            inc, onehot, (((1,), (0,)), ((), ())))     # (8, L)
             hit = placed[6:7, :] > 0.5
             for c in range(n_pl):
                 out_refs[c][0, s:s + 1, :] = jnp.where(
@@ -522,9 +563,8 @@ def _merge_kernel(act_ref, frank_ref, alive_ref, inc_ref, *plane_refs_out,
 
         frank = frank_ref[0, 0, :]                      # (CB,) int32, -1=used
         onehot = ((vrank == frank[None, :]) & valid).astype(jnp.float32)
-        placed = jax.lax.dot_general(
-            inc, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (8, CB)
+        placed = _select_dot(
+            inc, onehot, (((1,), (0,)), ((), ())))         # (8, CB)
         hit = placed[6, :] > 0.5
         for c in range(n_pl):
             out_refs[c][0, 0, :] = jnp.where(hit, placed[c, :],
@@ -665,14 +705,358 @@ def exchange_dim(planes: Tuple[jax.Array, ...], alive: jax.Array,
     return new_planes, alive3
 
 
+# ---------------------------------------------------------------------------
+# v5: FUSED all-dims exchange.  The three per-dim sweeps each re-stream
+# every particle plane through HBM (extract reads 7 planes, merge reads 7
+# and writes 7 — ~69 plane passes / ~20 GB per species at production
+# size, and the measured per-dim exchange sits AT that HBM floor).  The
+# fused pass touches the planes exactly TWICE — one extract, one merge —
+# and routes multi-axis movers between the rolls in BUFFER space (tiny
+# (NT, 8, W) arrays), preserving the per-dim semantics: a corner flow
+# still hops x, then y, then z, with the frame shift applied per hop.
+#
+#   extract_all  — classify every leaver by its first out-of-range axis
+#                  (x > y > z priority) into six per-direction blocks
+#   x-roll       — face buffers to the +-x neighbor (+ x frame shift)
+#   cleanup      — arrivals still out of range in y/z are compacted into
+#                  extra buffers that join the next roll
+#   y-roll, cleanup, z-roll
+#   merge_all    — one kernel places all (compacted) arrival blocks into
+#                  free slots
+#
+# Per-ROW variant only (row s trades with row s of the neighbor tile,
+# like v4): it is the production configuration, and the one-hot builds —
+# the other half of the exchange bill — shrink 4x with it.
+# ---------------------------------------------------------------------------
+
+
+def _scan_rows_any(m):
+    """(R, W) f32 0/1 -> per-row inclusive lane prefix, any W (128-blocked
+    matmul scan with a remainder block)."""
+    return _scan_lanes_rows(m)[0]
+
+
+def _extract_all_rows_kernel(alive_ref, *plane_refs_out, Ks, T, L):
+    *plane_refs, buf_ref, alive_out_ref = plane_refs_out
+    W = 6 * Ks
+    x = plane_refs[0][0]                                # (8, L)
+    y = plane_refs[1][0]
+    z = plane_refs[2][0]
+    alive = alive_ref[0]
+    al = alive > 0.5
+    Tf = float(T)
+    xm = al & (x < 0.0)
+    xp = al & (x >= Tf)
+    xany = xm | xp
+    ym = al & (~xany) & (y < 0.0)
+    yp = al & (~xany) & (y >= Tf)
+    yany = ym | yp
+    zm = al & (~xany) & (~yany) & (z < 0.0)
+    zp = al & (~xany) & (~yany) & (z >= Tf)
+    masks = (xm, xp, ym, yp, zm, zp)
+    col = jnp.full_like(x, -1.0)
+    for i, mk in enumerate(masks):
+        r = _scan_rows_any(mk.astype(jnp.float32)) - 1.0
+        c = jnp.where(r < Ks, float(i * Ks) + r, float(W))  # overflow: kill
+        col = jnp.where(mk, c, col)
+    alive_out_ref[0] = jnp.where(col >= 0.0, 0.0, alive)
+
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0).astype(
+        jnp.float32)
+    ones = jnp.ones((1, L), jnp.float32)
+    zeros = jnp.zeros((1, L), jnp.float32)
+    for s in range(8):
+        onehot_t = (kidx == col[s:s + 1, :]).astype(jnp.float32)
+        pay = jnp.concatenate(
+            [r[0][s:s + 1, :] for r in plane_refs] + [ones, zeros],
+            axis=0)                                     # (8, L)
+        buf_ref[0, :, s * W:(s + 1) * W] = _select_dot(
+            pay, onehot_t, (((1,), (1,)), ((), ())))         # (8, 6Ks)
+
+
+def extract_all_rows(planes: Tuple[jax.Array, ...], alive: jax.Array,
+                     Ks: int, T: int, interpret: bool = False):
+    """Priority-classified extract over ALL dims in one plane pass.
+    Returns (bufs (NT, 8, 8*6Ks) — row s's block at [s*6Ks, (s+1)*6Ks),
+    direction order [xm, xp, ym, yp, zm, zp] each Ks wide — and
+    alive_killed (NT, B))."""
+    NT, B = alive.shape
+    L = B // 8
+    row = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    r3 = lambda a: a.reshape(NT, 8, L)
+    W = 6 * Ks
+    bufs, alive2 = pl.pallas_call(
+        partial(_extract_all_rows_kernel, Ks=Ks, T=T, L=L),
+        out_shape=(jax.ShapeDtypeStruct((NT, 8, 8 * W), jnp.float32),
+                   jax.ShapeDtypeStruct((NT, 8, L), jnp.float32)),
+        grid=(NT,),
+        in_specs=[row] + [row] * len(planes),
+        out_specs=(pl.BlockSpec((1, 8, 8 * W), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM), row),
+        interpret=interpret,
+    )(r3(alive), *[r3(p) for p in planes])
+    return bufs, alive2.reshape(NT, B)
+
+
+def _cleanup_rows_kernel(inc_ref, set_ref, *extra_refs, W, Ke, T, axes):
+    """Classify arrival columns of each row block against the REMAINING
+    axes (payload rows ``axes``, priority order), compact the settled ones
+    and the per-direction extras.  inc/set row blocks are W wide; each
+    extra block Ke."""
+    Tf = float(T)
+    n_dir = 2 * len(axes)
+    Wout = W + n_dir * Ke
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (Wout, W), 0).astype(
+        jnp.float32)
+    for s in range(8):
+        blk = inc_ref[0, :, s * W:(s + 1) * W]          # (8, W)
+        valid = blk[6:7, :] > 0.5                       # (1, W)
+        masks = []
+        taken = jnp.zeros_like(valid)
+        for a in axes:
+            c = blk[a:a + 1, :]
+            m_m = valid & (~taken) & (c < 0.0)
+            m_p = valid & (~taken) & (c >= Tf)
+            masks += [m_m, m_p]
+            taken = taken | m_m | m_p
+        settled = valid & (~taken)
+        # per-class (1, W) blocked scans (a stacked sublane concat of the
+        # masks trips a Mosaic layout limitation at non-128-aligned W)
+        r_set = _scan_rows_any(settled.astype(jnp.float32)) - 1.0
+        col = jnp.where(settled, r_set, -1.0)           # settled: cap W
+        for i in range(n_dir):
+            r = _scan_rows_any(masks[i].astype(jnp.float32)) - 1.0
+            c = jnp.where(r < Ke, float(W + i * Ke) + r, float(Wout))
+            col = jnp.where(masks[i], c, col)
+        onehot_t = (kidx == col).astype(jnp.float32)    # (Wout, W)
+        placed = _select_dot(
+            blk, onehot_t, (((1,), (1,)), ((), ())))         # (8, Wout)
+        set_ref[0, :, s * W:(s + 1) * W] = placed[:, :W]
+        for i in range(n_dir):
+            extra_refs[i][0, :, s * Ke:(s + 1) * Ke] = \
+                placed[:, W + i * Ke:W + (i + 1) * Ke]
+
+
+def cleanup_rows(inc: jax.Array, W: int, Ke: int, T: int, axes,
+                 interpret: bool = False):
+    """inc (NT, 8, 8*W) row-blocked arrivals.  Returns (settled
+    (NT, 8, 8*W), extras: 2*len(axes) arrays (NT, 8, 8*Ke) in
+    [axis0-minus, axis0-plus, axis1-minus, ...] order)."""
+    NT = inc.shape[0]
+    n_dir = 2 * len(axes)
+    outs = pl.pallas_call(
+        partial(_cleanup_rows_kernel, W=W, Ke=Ke, T=T, axes=tuple(axes)),
+        out_shape=(jax.ShapeDtypeStruct((NT, 8, 8 * W), jnp.float32),)
+        + tuple(jax.ShapeDtypeStruct((NT, 8, 8 * Ke), jnp.float32)
+                for _ in range(n_dir)),
+        grid=(NT,),
+        in_specs=[pl.BlockSpec((1, 8, 8 * W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 8, 8 * W), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),)
+        + tuple(pl.BlockSpec((1, 8, 8 * Ke), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_dir)),
+        interpret=interpret,
+    )(inc)
+    return outs[0], outs[1:]
+
+
+def _merge_all_rows_kernel(alive_ref, inc_ref, *plane_refs_out, blocks, L):
+    """blocks: static tuple of (offset, width) — each individually
+    compacted arrival run inside the row block."""
+    n_pl = (len(plane_refs_out) - 1) // 2
+    plane_refs = plane_refs_out[:n_pl]
+    out_refs = plane_refs_out[n_pl:2 * n_pl]
+    alive_out_ref = plane_refs_out[-1]
+    KT = blocks[-1][0] + blocks[-1][1]
+
+    alive = alive_ref[0]                                # (8, L)
+    free = alive <= 0.5
+    fr_incl = _scan_lanes_rows(free.astype(jnp.float32))[0]
+    frank = jnp.where(free, fr_incl - 1.0, -1.0)        # per-row ranks
+
+    for c in range(n_pl):
+        out_refs[c][0] = plane_refs[c][0]
+    alive_out_ref[0] = alive
+
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (KT, 1), 0).astype(
+        jnp.float32)
+    for s in range(8):
+        inc_s = inc_ref[0, :, s * KT:(s + 1) * KT]      # (8, KT)
+        flag = inc_s[6:7, :]                            # (1, KT)
+        vrank = jnp.full((KT, 1), -1.0, jnp.float32)
+        valid = jnp.zeros((KT, 1), jnp.bool_)
+        n_before = jnp.zeros((), jnp.float32)
+        for off, w in blocks:
+            n_b = jnp.sum(flag[0, off:off + w])
+            within = iota_s - float(off)
+            in_blk = (within >= 0.0) & (within < float(w))
+            vrank = jnp.where(in_blk, within + n_before, vrank)
+            valid = valid | (in_blk & (within < n_b))
+            n_before = n_before + n_b
+        n_arr = n_before
+        frank_s = frank[s:s + 1, :]                     # (1, L)
+        has = jnp.sum(jnp.where((frank_s >= 0.0) & (frank_s < n_arr),
+                                1.0, 0.0)) > 0.0
+
+        @pl.when(has)
+        def _(s=s, inc_s=inc_s, vrank=vrank, valid=valid, frank_s=frank_s):
+            onehot = ((vrank == frank_s) & valid).astype(jnp.float32)
+            placed = _select_dot(
+            inc_s, onehot, (((1,), (0,)), ((), ())))     # (8, L)
+            hit = placed[6:7, :] > 0.5
+            for c in range(n_pl):
+                out_refs[c][0, s:s + 1, :] = jnp.where(
+                    hit, placed[c:c + 1, :], plane_refs[c][0][s:s + 1, :])
+            alive_out_ref[0, s:s + 1, :] = jnp.where(
+                hit, 1.0, alive[s:s + 1, :])
+
+
+def merge_all_rows(alive: jax.Array, inc: jax.Array,
+                   planes: Tuple[jax.Array, ...], blocks,
+                   interpret: bool = False):
+    """Multi-block per-row merge: inc (NT, 8, 8*KT) row-blocked; blocks =
+    tuple of (offset, width) compacted runs within each row block."""
+    NT, B = alive.shape
+    L = B // 8
+    KT = blocks[-1][0] + blocks[-1][1]
+    row = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    r3 = lambda a: a.reshape(NT, 8, L)
+    n_pl = len(planes)
+    outs = pl.pallas_call(
+        partial(_merge_all_rows_kernel, blocks=tuple(blocks), L=L),
+        out_shape=tuple(jax.ShapeDtypeStruct((NT, 8, L), jnp.float32)
+                        for _ in range(n_pl + 1)),
+        grid=(NT,),
+        in_specs=[row,
+                  pl.BlockSpec((1, 8, 8 * KT), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] + [row] * n_pl,
+        out_specs=tuple([row] * (n_pl + 1)),
+        interpret=interpret,
+    )(r3(alive), inc, *[r3(p) for p in planes])
+    new_planes = tuple(o.reshape(NT, B) for o in outs[:n_pl])
+    return new_planes, outs[n_pl].reshape(NT, B)
+
+
+def default_edge_cap(Ks: int) -> int:
+    """Cap for multi-axis (edge/corner) flows per hop: they need crossing
+    two tile faces within one cadence window (~(M/T)^2 of the population),
+    so Ks/4 with an 8-lane floor is ~10x the Poisson tail."""
+    return max(8, Ks // 4)
+
+
+def _roll_blocked(buf, nt, n_rows, w, d, sign, roll):
+    """Roll a row-blocked buffer (NT, 8, n_rows*w) to the d-neighbor."""
+    b = buf.reshape(nt + (8, n_rows, w))
+    return roll(b, sign, d).reshape((-1, 8, n_rows * w))
+
+
+def _shift_rows(inc, n_rows, parts, d, T):
+    """Apply the receiver-frame coordinate shift to arrival buffers:
+    parts = tuple of (width, shift_sign) runs per row block (minus-going
+    arrivals entered from the +d side: coord += T; plus-going: -= T)."""
+    KT = sum(w for w, _ in parts)
+    shift = jnp.concatenate([
+        jnp.full((w,), float(sgn) * float(T), jnp.float32)
+        for w, sgn in parts])
+    shift = jnp.tile(shift, n_rows)
+    return inc.at[:, d, :].add(
+        jnp.where(inc[:, 6, :] > 0.5, shift, 0.0))
+
+
+def rebucket_exchange_all_rows(planes: Tuple[jax.Array, ...],
+                               alive: jax.Array, ntiles: Tuple[int, ...],
+                               T: int, Ks: int, Ke: int = None,
+                               interpret: bool = False, roll_fns=None):
+    """Fused all-dims per-row exchange: ONE extract pass, buffer-space
+    routing (x -> y -> z hops on the small buffers), ONE merge pass.
+    Same semantics as three sequential per-dim sweeps.  Returns
+    (planes', alive', n_dropped)."""
+    NT, B = alive.shape
+    nt = tuple(ntiles)
+    Ke = Ke or default_edge_cap(Ks)
+    rolls = [((lambda a, s, ax=d: jnp.roll(a, s, axis=ax))
+              if roll_fns is None else roll_fns[d]) for d in range(3)]
+    n0 = jnp.sum(alive.astype(jnp.int32))
+
+    bufs, alive2 = extract_all_rows(planes, alive, Ks, T,
+                                    interpret=interpret)
+    b = bufs.reshape(nt + (8, 8, 6, Ks))
+    face = [b[..., i, :].reshape(NT, 8, 8 * Ks) for i in range(6)]
+
+    def cat_blocks(blocks_list):
+        """Concat row-blocked buffers along each row's column block."""
+        parts = [bb.reshape(nt + (8, 8, -1)) for bb in blocks_list]
+        return jnp.concatenate(parts, axis=-1).reshape(NT, 8, -1)
+
+    # ---- x hop: face buffers only
+    Wx = 2 * Ks
+    inc_x = cat_blocks([
+        _roll_blocked(face[0], nt, 8, Ks, 0, -1, rolls[0]),
+        _roll_blocked(face[1], nt, 8, Ks, 0, 1, rolls[0])])
+    inc_x = _shift_rows(inc_x, 8, ((Ks, 1), (Ks, -1)), 0, T)
+    settled_x, (ym_e, yp_e, zm_e, zp_e) = cleanup_rows(
+        inc_x, Wx, Ke, T, axes=(1, 2), interpret=interpret)
+
+    # ---- y hop: extract's y faces + x-arrival extras
+    Wy1 = Ks + Ke
+    inc_y = cat_blocks([
+        _roll_blocked(cat_blocks([face[2], ym_e]), nt, 8, Wy1, 1, -1,
+                      rolls[1]),
+        _roll_blocked(cat_blocks([face[3], yp_e]), nt, 8, Wy1, 1, 1,
+                      rolls[1])])
+    inc_y = _shift_rows(inc_y, 8, ((Wy1, 1), (Wy1, -1)), 1, T)
+    settled_y, (zm_e2, zp_e2) = cleanup_rows(
+        inc_y, 2 * Wy1, Ke, T, axes=(2,), interpret=interpret)
+
+    # ---- z hop: extract's z faces + both cleanup extras (no cleanup
+    # after: z is the last axis, everything is settled by construction)
+    Wz1 = Ks + 2 * Ke
+    inc_z = cat_blocks([
+        _roll_blocked(cat_blocks([face[4], zm_e, zm_e2]), nt, 8, Wz1, 2,
+                      -1, rolls[2]),
+        _roll_blocked(cat_blocks([face[5], zp_e, zp_e2]), nt, 8, Wz1, 2,
+                      1, rolls[2])])
+    inc_z = _shift_rows(inc_z, 8, ((Wz1, 1), (Wz1, -1)), 2, T)
+
+    # ---- merge: all blocks in one pass.  Block table = each compacted
+    # run (settled_x run, settled_y run, and the six z sub-runs)
+    inc = cat_blocks([settled_x, settled_y, inc_z])
+    blocks = []
+    off = 0
+    for w in (Wx, 2 * Wy1):
+        blocks.append((off, w))
+        off += w
+    for w in (Ks, Ke, Ke, Ks, Ke, Ke):
+        blocks.append((off, w))
+        off += w
+    new_planes, alive3 = merge_all_rows(alive2, inc, planes,
+                                        tuple(blocks),
+                                        interpret=interpret)
+    dropped = n0 - jnp.sum(alive3.astype(jnp.int32))
+    return new_planes, alive3, dropped
+
+
 def rebucket_exchange_planes(planes: Tuple[jax.Array, ...], alive: jax.Array,
                              ntiles: Tuple[int, ...], T: int, K: int,
                              interpret: bool = False, roll_fns=None,
-                             ks: int = None, rows: bool = False):
-    """Full 3D re-bucket on component planes: sequential per-dim sweeps
-    (corner flows ride two sweeps, like the reference's per-dim migration).
-    Returns (planes', alive', n_dropped).  roll_fns: per-dim buffer-wrap
-    overrides for sharded tile grids.  ks/rows: see exchange_dim."""
+                             ks: int = None, rows: bool = False,
+                             fused: bool = True):
+    """Full 3D re-bucket on component planes.  rows=True with fused=True
+    (the default) takes the single-pass v5 exchange; otherwise three
+    sequential per-dim sweeps (corner flows ride two sweeps, like the
+    reference's per-dim migration).  Returns (planes', alive',
+    n_dropped).  roll_fns: per-dim buffer-wrap overrides for sharded tile
+    grids.  ks/rows: see exchange_dim."""
+    NT, B = alive.shape
+    if rows and fused and B % 8 == 0 and len(ntiles) == 3:
+        Ks = ks or default_row_cap(K, B)
+        return rebucket_exchange_all_rows(
+            planes, alive, ntiles, T, Ks, interpret=interpret,
+            roll_fns=roll_fns)
     n0 = jnp.sum(alive.astype(jnp.int32))
     for d in range(3):
         planes, alive = exchange_dim(

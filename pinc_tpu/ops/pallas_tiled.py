@@ -58,6 +58,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .tiled import TileSpec
 
 
+def _dot_prec(mxu_dtype):
+    """MXU precision matching the requested weight dtype: default f32
+    dots run ONE bf16 pass on v5e (inputs bf16-rounded), so
+    tiles:mxuDtype=f32 must explicitly ask for full-precision passes —
+    otherwise f32 silently computes the same as bf16."""
+    return (jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _w1d(d, order: int):
     """offset row - node -> weight: CIC hat (order 1) or NGP round-half-up
     indicator (order 0, the reference's ``(int)(pos+0.5)``,
@@ -141,7 +150,8 @@ def _deposit_kernel(x_ref, y_ref, z_ref, val_ref, out_ref, *, P, M,
         wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype, order)
         acc = jax.lax.dot_general(
             wx, wyz, (((1,), (1,)), ((), ())),      # contract lanes, K = CB
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=_dot_prec(mxu_dtype))
 
         @pl.when(j == 0)
         def _():
@@ -227,7 +237,8 @@ def _deposit_move_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
         wyz = _kron_iota(y, z, P, M, mxu_dtype, order)
         acc = jax.lax.dot_general(
             wx, wyz, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=_dot_prec(mxu_dtype))
 
         @pl.when(j == 0)
         def _():
@@ -307,7 +318,8 @@ def _gather_kernel(x_ref, y_ref, z_ref, e_ref, out_ref, *, P, M, C,
         wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype, order)
         G_all = jax.lax.dot_general(
             E_all, wyz, (((1,), (0,)), ((), ())),    # (C*P, B)
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=_dot_prec(mxu_dtype))
         for c in range(C):
             Gc = G_all[c * P:(c + 1) * P, :]
             out_ref[c, g, :] = jnp.sum(wx * Gc, axis=0)
@@ -354,11 +366,23 @@ def gather(field_pad: jax.Array, xyz: jax.Array, ts: TileSpec,
 # Mega-fused step: kick + drift + deposit, ALL species in one kernel
 # ---------------------------------------------------------------------------
 
+def _embed_cols(P: int, M: int, Pm: int, m: int, dtype):
+    """(P*P, Pm*Pm) binary matrix mapping the margin-m (y, z) kron index
+    onto the margin-M one: col jm = ym*Pm + zm -> row (ym+dM)*P + zm+dM.
+    Exact in bf16 (0/1 entries)."""
+    dM = M - m
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (P * P, Pm * Pm), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (P * P, Pm * Pm), 1)
+    ym = j2 // Pm
+    zm = j2 % Pm
+    return (i2 == (ym + dM) * P + (zm + dM)).astype(dtype)
+
+
 def _pic_step_kernel(q_ref, qm_ref, tvec_ref, svec_ref, pos_ref, vel_ref,
                      alive_ref, e_ref, tiles_ref, pos_out_ref, vel_out_ref,
                      ke_ref, nout_ref, *, P, M, T, C, mxu_dtype, G,
                      order_acc=1, order_distr=1, e_ext=(0.0, 0.0, 0.0),
-                     boris=False, e_merged=False):
+                     boris=False, e_merged=False, margins=None):
     s = pl.program_id(1)
     j = pl.program_id(2)
     q = q_ref[0, s]
@@ -367,72 +391,140 @@ def _pic_step_kernel(q_ref, qm_ref, tvec_ref, svec_ref, pos_ref, vel_ref,
     if boris:
         boris_ts = ((tvec_ref[0, s], tvec_ref[1, s], tvec_ref[2, s]),
                     (svec_ref[0, s], svec_ref[1, s], svec_ref[2, s]))
-    lo, hi = -float(M), float(T + M)
 
-    def tile_body(g, acc):
-        vdot_acc, bad_acc = acc
-        gsl = pl.ds(g, 1)
-        alive = alive_ref[0, gsl, :]                     # (1, B)
-        x = pos_ref[0, 0, gsl, :]
-        y = pos_ref[0, 1, gsl, :]
-        z = pos_ref[0, 2, gsl, :]
-        # gather E at the pre-drift positions (leapfrog kick with E_n(x_n))
-        if e_merged:
-            # (C*P, P*P) tiles straight from pallas_field.efield_tiles
-            # (already in mxu_dtype — the astype is a no-op then)
-            E_all = e_ref[g, :, :].astype(mxu_dtype)
-        else:
-            E_all = e_ref[g, :, :, :].reshape(C * P, P * P).astype(mxu_dtype)
-        wx = _weights_t(x, P, M, order_acc)
-        wyz = _kron_iota(y, z, P, M, mxu_dtype, order_acc)
-        G_all = jax.lax.dot_general(
-            E_all, wyz, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (C*P, B)
-        Ecs = [jnp.sum(wx * G_all[c * P:(c + 1) * P, :], axis=0,
-                       keepdims=True) + e_ext[c] for c in range(C)]
-        vs = [vel_ref[0, c, gsl, :] for c in range(3)]
-        vouts, vdot = _kick_rows(vs, Ecs, qm, boris_ts)
-        news = []
-        for c, pc in enumerate((x, y, z)):
-            vn = vs[c] + alive * (vouts[c] - vs[c])
-            vel_out_ref[0, c, gsl, :] = vn
-            pn = pc + vn                                  # drift with v_{n+1/2}
-            pos_out_ref[0, c, gsl, :] = pn
-            news.append(pn)
-        nx, ny, nz = news
-        out = ((nx < lo) | (nx >= hi) | (ny < lo) | (ny >= hi)
-               | (nz < lo) | (nz >= hi))
-        # deposit at the post-drift positions
-        wxn = (_weights_t(nx, P, M, order_distr)
-               * (alive * q)).astype(mxu_dtype)
-        wyzn = _kron_iota(ny, nz, P, M, mxu_dtype, order_distr)
-        dep = jax.lax.dot_general(
-            wxn, wyzn, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    def species_body(mg: int, md: int):
+        """One species' gather+kick+drift+deposit at effective margins
+        (mg, md) <= M: the IO shapes stay at the layout margin M, the
+        weight krons and MXU contractions shrink to the margin actually
+        needed at this point of the re-bucket window (e.g. one step after
+        a re-bucket no particle has wandered past 1 cell), with O(P^4)
+        embed matmuls bridging the shapes.  mg == md == M is the plain
+        full-margin path (no remaps)."""
+        Pg = T + 1 + 2 * mg
+        Pd = T + 1 + 2 * md
+        dg = M - mg
+        dd = M - md
+        lo, hi = -float(md), float(T + md)
+        Cg = (None if mg == M else _embed_cols(P, M, Pg, mg, mxu_dtype))
+        Cd = (None if md == M else
+              _embed_cols(P, M, Pd, md, jnp.float32))
 
-        @pl.when((s == 0) & (j == 0))
+        def tile_body(g, acc):
+            vdot_acc, bad_acc = acc
+            gsl = pl.ds(g, 1)
+            alive = alive_ref[0, gsl, :]                 # (1, B)
+            x = pos_ref[0, 0, gsl, :]
+            y = pos_ref[0, 1, gsl, :]
+            z = pos_ref[0, 2, gsl, :]
+            # gather E at the pre-drift positions (leapfrog kick E_n(x_n))
+            if e_merged:
+                # (C*P, P*P) tiles straight from pallas_field.efield_tiles
+                # (already in mxu_dtype — the astype is a no-op then)
+                E_all = e_ref[g, :, :].astype(mxu_dtype)
+            else:
+                E_all = e_ref[g, :, :, :].reshape(
+                    C * P, P * P).astype(mxu_dtype)
+            if mg < M:
+                # margin-mg kron: Pg^2 <= 128 fits ONE MXU lane tile where
+                # the full P^2 spans two; E columns remapped once per tile
+                E_all = jax.lax.dot_general(
+                    E_all, Cg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_dot_prec(mxu_dtype)).astype(mxu_dtype)
+            wx = _weights_t(x, Pg, mg, order_acc)
+            wyz = _kron_iota(y, z, Pg, mg, mxu_dtype, order_acc)
+            G_all = jax.lax.dot_general(
+                E_all, wyz, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_dot_prec(mxu_dtype))      # (C*P, B)
+            Ecs = [jnp.sum(wx * G_all[c * P + dg:c * P + dg + Pg, :],
+                           axis=0, keepdims=True) + e_ext[c]
+                   for c in range(C)]
+            vs = [vel_ref[0, c, gsl, :] for c in range(3)]
+            vouts, vdot = _kick_rows(vs, Ecs, qm, boris_ts)
+            news = []
+            for c, pc in enumerate((x, y, z)):
+                vn = vs[c] + alive * (vouts[c] - vs[c])
+                vel_out_ref[0, c, gsl, :] = vn
+                pn = pc + vn                              # drift, v_{n+1/2}
+                pos_out_ref[0, c, gsl, :] = pn
+                news.append(pn)
+            nx, ny, nz = news
+            out = ((nx < lo) | (nx >= hi) | (ny < lo) | (ny >= hi)
+                   | (nz < lo) | (nz >= hi))
+            # deposit at the post-drift positions
+            wxn = (_weights_t(nx, Pd, md, order_distr)
+                   * (alive * q)).astype(mxu_dtype)
+            wyzn = _kron_iota(ny, nz, Pd, md, mxu_dtype, order_distr)
+            dep = jax.lax.dot_general(
+                wxn, wyzn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_dot_prec(mxu_dtype))      # (Pd, Pd^2)
+            if md < M:
+                # Cd is (P^2, Pd^2): contract the margin-md kron index.
+                # HIGHEST: default f32 dots run one bf16 MXU pass on v5e,
+                # which would round the f32 deposit values (the 0/1 embed
+                # side is exact either way)
+                dep = jax.lax.dot_general(
+                    dep, Cd, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (Pd, P^2)
+
+            @pl.when((s == 0) & (j == 0))
+            def _():
+                tiles_ref[gsl, :, :] = jnp.zeros_like(tiles_ref[gsl])
+                tiles_ref[gsl, dd:dd + Pd, :] += dep[None]
+
+            @pl.when((s != 0) | (j != 0))
+            def _():
+                tiles_ref[gsl, dd:dd + Pd, :] += dep[None]
+
+            return (vdot_acc + jnp.sum(vdot * alive),
+                    bad_acc + jnp.sum(jnp.where(out, alive, 0.0)))
+
+        return jax.lax.fori_loop(
+            0, G, tile_body, (jnp.float32(0), jnp.float32(0)))
+
+    groups = {}
+    if margins is None:
+        groups[(M, M)] = None                            # all species
+    else:
+        for idx, pair in enumerate(margins):
+            groups.setdefault(tuple(pair), []).append(idx)
+
+    if len(groups) == 1:
+        mg, md = next(iter(groups))
+        vdot, bad = species_body(mg, md)
+
+        @pl.when(j == 0)
         def _():
-            tiles_ref[gsl, :, :] = dep[None]
+            ke_ref[...] = jnp.zeros_like(ke_ref) + vdot
+            nout_ref[...] = jnp.zeros_like(nout_ref) + bad
 
-        @pl.when((s != 0) | (j != 0))
+        @pl.when(j != 0)
         def _():
-            tiles_ref[gsl, :, :] += dep[None]
+            ke_ref[...] += vdot
+            nout_ref[...] += bad
+        return
 
-        return (vdot_acc + jnp.sum(vdot * alive),
-                bad_acc + jnp.sum(jnp.where(out, alive, 0.0)))
+    for (mg, md), idxs in groups.items():
+        cond = (s == idxs[0])
+        for i in idxs[1:]:
+            cond = cond | (s == i)
 
-    vdot, bad = jax.lax.fori_loop(
-        0, G, tile_body, (jnp.float32(0), jnp.float32(0)))
+        @pl.when(cond)
+        def _(mg=mg, md=md):
+            vdot, bad = species_body(mg, md)
 
-    @pl.when(j == 0)
-    def _():
-        ke_ref[...] = jnp.zeros_like(ke_ref) + vdot
-        nout_ref[...] = jnp.zeros_like(nout_ref) + bad
+            @pl.when(j == 0)
+            def _():
+                ke_ref[...] = jnp.zeros_like(ke_ref) + vdot
+                nout_ref[...] = jnp.zeros_like(nout_ref) + bad
 
-    @pl.when(j != 0)
-    def _():
-        ke_ref[...] += vdot
-        nout_ref[...] += bad
+            @pl.when(j != 0)
+            def _():
+                ke_ref[...] += vdot
+                nout_ref[...] += bad
 
 
 def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
@@ -440,7 +532,7 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
              interpret: bool = False, mxu_dtype=jnp.float32,
              tiles_per_step: int = 8, order_acc: int = 1,
              order_distr: int = 1, e_ext=None,
-             boris_T=None, boris_S=None):
+             boris_T=None, boris_S=None, margins=None):
     """One full leapfrog step for ALL species in a single Pallas kernel:
     gather E(x_n) -> kick v -> drift x -> CIC/NGP-deposit rho_{n+1}.
 
@@ -451,6 +543,20 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
     (puGet3DRotationParameters, src/pusher.c:483-505); when given the
     kick is the full Boris sequence and vdot is |v_plus|^2 per species
     (puBoris3D1KE, src/pusher.c:437-482).
+
+    margins: optional per-species static (margin_gather, margin_deposit)
+    pairs, each <= ts.M.  The IO shapes stay at the layout margin; the
+    kernel builds the weight krons at the EFFECTIVE margin a species
+    needs at this point of its re-bucket window (one step after a
+    re-bucket nothing has wandered more than one cell), with tiny binary
+    embed matmuls bridging the shapes.  For in-envelope particles the
+    result is exactly equivalent to the full-margin kernel — the embeds
+    are 0/1-exact and the hat weights at the dropped nodes are zero —
+    up to f32 summation-tree rounding (the contraction pairs the same
+    nonzero terms in a different order; ~1 ulp, same order as the bf16
+    weight dither).  A particle beyond the scheduled margin
+    deposits/gathers clipped weights and is counted in n_out, exactly
+    like the full-margin kernel's own envelope.
 
     The species loop rides the second grid dimension (s innermost), so the
     per-tile density block stays resident in VMEM and accumulates across
@@ -515,11 +621,17 @@ def pic_step(field_pad: jax.Array, lpos: jax.Array, vel: jax.Array,
     sacc = pl.BlockSpec((1, 1, 1, 128), lambda i, s, j: (s, i, 0, 0),
                         memory_space=pltpu.VMEM)
 
+    if margins is not None:
+        margins = tuple((int(mg), int(md)) for mg, md in margins)
+        assert len(margins) == S and all(
+            0 <= mg <= ts.M and 1 <= md <= ts.M for mg, md in margins)
+        if all(m == (ts.M, ts.M) for m in margins):
+            margins = None
     tiles, pos_o, vel_o, ke, nout = pl.pallas_call(
         partial(_pic_step_kernel, P=P, M=ts.M, T=ts.T, C=C,
                 mxu_dtype=mxu_dtype, G=G, order_acc=order_acc,
                 order_distr=order_distr, e_ext=e_ext_t, boris=boris,
-                e_merged=e_merged),
+                e_merged=e_merged, margins=margins),
         out_shape=(jax.ShapeDtypeStruct((NT, P, P * P), jnp.float32),
                    jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
                    jax.ShapeDtypeStruct((S, 3, NT, B), jnp.float32),
@@ -599,7 +711,8 @@ def _gather_kick_kernel(x_ref, y_ref, z_ref, vx_ref, vy_ref, vz_ref,
         wyz = _kron_iota(y_ref[sl], z_ref[sl], P, M, mxu_dtype, order)
         G_all = jax.lax.dot_general(
             E_all, wyz, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=_dot_prec(mxu_dtype))
         Ecs = [jnp.sum(wx * G_all[c * P:(c + 1) * P, :], axis=0)[None]
                + e_ext[c] for c in range(C)]
         vs = [vx_ref[sl], vy_ref[sl], vz_ref[sl]]

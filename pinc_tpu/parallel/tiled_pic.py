@@ -547,11 +547,17 @@ class ShardedTiledSimulation(TiledSimulation):
     def _rebucket(self, st: TiledState, species=None):
         return self._sharded_rebucket(st, species=species)
 
-    def _make_scan_steps_mega(self, n: int, donate: bool = False):
+    def _make_scan_steps_mega(self, n: int, donate: bool = False,
+                              fresh: bool = False):
         """Sharded mega scan: the single-chip pic_step body per shard
         (kick with the previous field, drift, deposit — one Pallas kernel
         for all species), with the padded field tiles riding the carry as
-        a tile-grid-sharded array and every tile wrap on ppermute."""
+        a tile-grid-sharded array and every tile wrap on ppermute.
+
+        fresh is accepted for make_scan_steps API parity; the per-step
+        margin schedule is not yet plumbed through the sharded body (the
+        single-chip path is the perf-critical one)."""
+        del fresh
         from ..ops import pallas_tiled as ptl
         ctx = self.ctx
         sspec = self._state_spec

@@ -411,27 +411,59 @@ def initialize_auto(cfg: PincConfig, spec: GridSpec,
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
-# Object-collision handlers.  The reference declares these but every one
-# emits a "not yet implemented" warning (pFindCollisionType/pBackscatter/
-# pSecondaryElectron/pReflect/pAdhere, src/population.c:468-495); absorption
-# is the only implemented interaction (objects.collect_charge).  Kept as the
-# same API surface so decks selecting them fail loudly, not silently.
+# Object-collision handlers.  The reference declares four responses but
+# every one emits a "not yet implemented" warning (pFindCollisionType/
+# pBackscatter/pSecondaryElectron/pReflect/pAdhere,
+# src/population.c:468-495).  Here all four are REAL: reflect/backscatter
+# in objects.collide_segments, adhere + secondary-electron emission in
+# objects.collect_charge/emit_secondaries, selected per species via
+# objects:collisionType.  ``spawn`` below is the working pNew
+# (src/population.c:430-443): the reference appends at iStop and silently
+# drops when full; here free slots are rank-matched under the alive mask
+# and the overflow count is returned.
 # ---------------------------------------------------------------------------
 
-def _not_implemented(name: str):
-    def handler(*_args, **_kwargs):
-        raise NotImplementedError(
-            f"{name}: object collision type not implemented (matches the "
-            f"reference stubs, src/population.c:468-495); only absorption "
-            f"is available")
-    handler.__name__ = name
-    return handler
+def spawn(p: Particles, s: int, pos: jax.Array, vel: jax.Array,
+          mask: jax.Array) -> Tuple[Particles, jax.Array, jax.Array]:
+    """Insert new particles into species ``s``'s free (dead) slots.
 
-
-backscatter = _not_implemented("pBackscatter")
-secondary_electron = _not_implemented("pSecondaryElectron")
-adhere = _not_implemented("pAdhere")
-find_collision_type = _not_implemented("pFindCollisionType")
+    pos/vel: (N, D) candidate states; mask: (N,) which candidates are
+    real.  Candidate k (k-th True in mask) lands in the k-th free slot.
+    Returns (particles', n_spawned, n_overflow); overflowing candidates
+    (more than free slots) are dropped and counted."""
+    cap = p.capacity
+    alive_s = p.alive[s]
+    free = ~alive_s
+    # slot_for_rank[r] = index of the r-th free slot (cap = dump bucket)
+    frank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_for_rank = jnp.full((cap + 1,), cap, jnp.int32).at[
+        jnp.where(free, frank, cap)].set(jnp.arange(cap, dtype=jnp.int32))
+    n_free = jnp.sum(free.astype(jnp.int32))
+    erank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    ok = mask & (erank < n_free)
+    tgt = jnp.where(ok, slot_for_rank[jnp.clip(erank, 0, cap)], cap)
+    cell_new = jnp.floor(pos).astype(p.cell.dtype)
+    frac_new = (pos - cell_new).astype(p.frac.dtype)
+    pad = lambda a: jnp.concatenate([a, a[-1:]], axis=0)  # dump row
+    cell_s = pad(p.cell[s]).at[tgt].set(
+        jnp.where(ok[:, None], cell_new, pad(p.cell[s])[tgt]))[:cap]
+    frac_s = pad(p.frac[s]).at[tgt].set(
+        jnp.where(ok[:, None], frac_new.astype(p.frac.dtype),
+                  pad(p.frac[s])[tgt]))[:cap]
+    vel_s = pad(p.vel[s]).at[tgt].set(
+        jnp.where(ok[:, None], vel.astype(p.vel.dtype),
+                  pad(p.vel[s])[tgt]))[:cap]
+    alive_s2 = jnp.concatenate(
+        [alive_s, jnp.zeros((1,), alive_s.dtype)]).at[tgt].set(
+        jnp.where(ok, True, jnp.concatenate(
+            [alive_s, jnp.zeros((1,), alive_s.dtype)])[tgt]))[:cap]
+    n_spawned = jnp.sum(ok.astype(jnp.int32))
+    n_over = jnp.sum((mask & ~ok).astype(jnp.int32))
+    return (Particles(cell=p.cell.at[s].set(cell_s),
+                      frac=p.frac.at[s].set(frac_s),
+                      vel=p.vel.at[s].set(vel_s),
+                      alive=p.alive.at[s].set(alive_s2)),
+            n_spawned, n_over)
 
 
 def kinetic_energy(p: Particles, params: SpeciesParams) -> jax.Array:

@@ -213,8 +213,13 @@ class TiledSimulation(Simulation):
             self.rebucket_every = cfg.get_int("tiles:rebucketevery")
             self.rebucket_every_s = [self.rebucket_every] * len(vmax_s)
         else:
+            R_s = [max(1, min(int(M / v), 200)) for v in vmax_s]
+            # nested cadences (slow snapped down to a multiple of the
+            # fastest) keep scan windows alignable for the per-step
+            # margin schedule; snapping down just re-buckets early
+            Re = min(R_s)
             self.rebucket_every_s = [
-                max(1, min(int(M / v), 200)) for v in vmax_s]
+                R if R == Re else max(Re, R // Re * Re) for R in R_s]
             self.rebucket_every = min(self.rebucket_every_s)
         self._gather_mode = cfg.get_str("tiles:gather", "mxu").lower()
         default_backend = ("pallas" if (nd == 3 and
@@ -340,16 +345,25 @@ class TiledSimulation(Simulation):
         changed = False
         M = self.ts.M
         v_s = [0.0] * S
+        R_s = list(self.rebucket_every_s)
         for s in range(S):
             vs = vel_np[s].reshape(D, -1)[:, alive_np[s].reshape(-1)]
             if not vs.size:
                 continue
             v_s[s] = max(float(np.percentile(vs, 99.9)) * 1.5, 1e-3)
-            R = max(1, min(int(M / v_s[s]), 200))
-            if R != self.rebucket_every_s[s]:
+            R_s[s] = max(1, min(int(M / v_s[s]), 200))
+        # snap slow cadences DOWN to a multiple of the fastest (re-bucket
+        # a touch early — always safe): nested cadences keep scan windows
+        # alignable, which the per-step margin schedule (make_scan_steps
+        # fresh=True) requires; a retune to a coprime cadence would
+        # silently disable it
+        Re = min(R_s)
+        R_s = [R if R == Re else max(Re, R // Re * Re) for R in R_s]
+        for s in range(S):
+            if R_s[s] != self.rebucket_every_s[s]:
                 msg(STATUS, "retune: species %d re-bucket cadence %d -> %d",
-                    s, self.rebucket_every_s[s], R)
-                self.rebucket_every_s[s] = R
+                    s, self.rebucket_every_s[s], R_s[s])
+                self.rebucket_every_s[s] = R_s[s]
                 changed = True
         self.rebucket_every = min(self.rebucket_every_s)
         if self.rebucket_every < 2:
@@ -487,7 +501,8 @@ class TiledSimulation(Simulation):
                 planes, alive_s,
                 self.ts.ntiles, self.ts.T, K=self._exchange_cap,
                 interpret=jax.devices()[0].platform == "cpu",
-                rows=self._exchange_rows)
+                rows=self._exchange_rows,
+                fused=self.cfg.get_bool("tiles:exchangefused", True))
             return (jnp.stack(planes[:D]), jnp.stack(planes[D:]),
                     al > 0.5, d_n.astype(jnp.int32))
         gpos = tl.global_positions(
@@ -1084,15 +1099,152 @@ class TiledSimulation(Simulation):
         out = tree.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
         return carry, out, dropped
 
-    def make_scan_steps(self, n: int, donate: bool = False):
+    def _mid_margins(self, q: int, slow_full: bool):
+        """Per-step margin tuples for fast-window index q since the slow
+        species' last re-bucket (fresh entry).  Fast species get the
+        per-step schedule (their wander k steps after a re-bucket is
+        bounded by k*M/cadence); slow species a per-window constant
+        bound; slow_full forces them to the layout margin (for segment
+        lengths that do not cover the slow cadence, where the slow phase
+        is unknown across calls)."""
+        M = self.ts.M
+        Rs = self.rebucket_every_s
+        Re = min(Rs)
+        plans = []
+        for k in range(Re):
+            out = []
+            for s, R in enumerate(Rs):
+                if R == Re:
+                    j = k + 1
+                    md = min(M, max(1, math.ceil(j * M / R)))
+                    mg = min(M, math.ceil((j - 1) * M / R))
+                else:
+                    if slow_full:
+                        mg = md = M
+                    else:
+                        j_end = (q + 1) * Re
+                        mg = md = min(M, max(1, math.ceil(j_end * M / R)))
+                out.append((mg, md))
+            plans.append(tuple(out))
+        return tuple(plans)
+
+    def _scan_sched(self, body_m, carry, n: int):
+        """Margin-scheduled variant of _scan_with_rebuckets for the mega
+        path.  Requires every species freshly re-bucketed at entry (see
+        make_scan_steps fresh).  Each fast re-bucket window is unrolled
+        with per-step margins; the slow species' cycle is split into
+        margin phases (contiguous runs of identical plans share one
+        compiled window body).  body_m(carry, margins) -> (carry, out);
+        margins=None means the full layout margin."""
+        tree = jax.tree_util
+        Rs = list(self.rebucket_every_s)
+        Re = min(Rs)
+        Ri = max(Rs)
+        fast = [s for s, R in enumerate(Rs) if R == Re]
+        slow = [s for s, R in enumerate(Rs) if R != Re]
+        dropped = jnp.zeros((), jnp.int32)
+        outs = []
+
+        def reb(c, species):
+            st2, d = self._rebucket(c[0], species=tuple(species))
+            return (st2,) + tuple(c[1:]), d
+
+        def mid_for(plans):
+            def mid_body(c, _):
+                kouts = []
+                for margins in plans:
+                    c, out = body_m(c, margins)
+                    kouts.append(out)
+                c, d = reb(c, fast)
+                out = tree.tree_map(lambda *xs: jnp.stack(xs), *kouts)
+                return c, (out, d)
+            return mid_body
+
+        def run_phase_runs(carry, runs, mids_avail):
+            done_mids = 0
+            d_tot = jnp.zeros((), jnp.int32)
+            phase_outs = []
+            for plans, ln in runs:
+                take = min(ln, mids_avail - done_mids)
+                if take <= 0:
+                    break
+                carry, (out, d) = jax.lax.scan(mid_for(plans), carry,
+                                               None, length=take)
+                phase_outs.append(tree.tree_map(
+                    lambda a: a.reshape((take * Re,) + a.shape[2:]), out))
+                d_tot = d_tot + jnp.sum(d)
+                done_mids += take
+            return carry, phase_outs, d_tot, done_mids
+
+        done = 0
+        if slow and Ri % Re == 0:
+            # phase runs over one slow cycle
+            runs = []
+            for q in range(Ri // Re):
+                plans = self._mid_margins(q, slow_full=False)
+                if runs and runs[-1][0] == plans:
+                    runs[-1][1] += 1
+                else:
+                    runs.append([plans, 1])
+            n_cyc = n // Ri
+            if n_cyc:
+                def cycle_body(c, _):
+                    c, po, d, _ = run_phase_runs(c, runs, Ri // Re)
+                    c, d2 = reb(c, slow)
+                    out = (po[0] if len(po) == 1 else tree.tree_map(
+                        lambda *xs: jnp.concatenate(xs), *po))
+                    return c, (out, d + d2)
+
+                carry, (out, d) = jax.lax.scan(cycle_body, carry, None,
+                                               length=n_cyc)
+                outs.append(tree.tree_map(
+                    lambda a: a.reshape((n_cyc * Ri,) + a.shape[2:]), out))
+                dropped = dropped + jnp.sum(d)
+                done = n_cyc * Ri
+            # tail inside a fresh slow cycle (slow just re-bucketed)
+            mids_left = (n - done) // Re
+            if mids_left:
+                carry, po, d, taken = run_phase_runs(carry, runs,
+                                                     mids_left)
+                outs.extend(po)
+                dropped = dropped + d
+                done += taken * Re
+        elif not slow:
+            # uniform cadence: every window has the same plan
+            runs = [[self._mid_margins(0, slow_full=False), n // Re]]
+            carry, po, d, taken = run_phase_runs(carry, runs, n // Re)
+            outs.extend(po)
+            dropped = dropped + d
+            done = taken * Re
+        # leftover (< one fast window, or non-nested cadences the phase
+        # structure cannot express): generic full-margin path
+        if done < n:
+            carry, out, d = self._scan_with_rebuckets(
+                lambda c, _: body_m(c, None), carry, n - done)
+            outs.append(out)
+            dropped = dropped + d
+        out = (outs[0] if len(outs) == 1
+               else tree.tree_map(lambda *xs: jnp.concatenate(xs), *outs))
+        return carry, out, dropped
+
+    def make_scan_steps(self, n: int, donate: bool = False,
+                        fresh: bool = False):
         """n steps with in-loop per-species rebucketing (see
         _scan_with_rebuckets for the segment/nesting structure).
         donate=True consumes the state argument (for GB-scale states
-        whose caller will not reuse them, e.g. bench.py)."""
+        whose caller will not reuse them, e.g. bench.py).
+
+        fresh=True asserts that EVERY species is freshly re-bucketed when
+        the returned function is called (true after initial bucketing,
+        and preserved across back-to-back calls when n is a multiple of
+        every cadence) — it unlocks the per-step margin schedule: scan
+        slots right after a re-bucket run the pic_step kernel at the
+        margin particles can actually have reached (see
+        ops.pallas_tiled.pic_step margins)."""
         if self.objects is not None:
             return self._make_scan_steps_obj(n, donate)
         if self._use_mega:
-            return self._make_scan_steps_mega(n, donate)
+            return self._make_scan_steps_mega(n, donate, fresh=fresh)
 
         def body(carry, _):
             st, rho, phi, E, diag = self._step_for_scan(carry[0])
@@ -1127,13 +1279,17 @@ class TiledSimulation(Simulation):
 
         return _jit_maybe_donate(run_n, donate)
 
-    def _make_scan_steps_mega(self, n: int, donate: bool = False):
+    def _make_scan_steps_mega(self, n: int, donate: bool = False,
+                              fresh: bool = False):
         """Scan driver over the mega-fused step kernel: kick v with the
         PREVIOUS step's field, drift, deposit — one pic_step kernel + one
         field solve per step; the padded field tiles ride the scan carry.
         Both orderings are the same leapfrog trajectory; here the (ke, pe)
         pair emitted at scan slot k is centered on step k-1, with the
-        window-start solve supplying the first pe."""
+        window-start solve supplying the first pe.
+
+        fresh=True (margin >= 2 decks, pallas backend): scan slots take
+        the per-step margin schedule — see make_scan_steps / _scan_sched."""
         from .ops import pallas_tiled as ptl
         from .ops import pallas_field as pfield
         interp = jax.devices()[0].platform == "cpu"
@@ -1182,14 +1338,14 @@ class TiledSimulation(Simulation):
                 ts).astype(self.spec.dtype)
             return rho, self.solver(rho)
 
-        def body(carry, _):
+        def body(carry, margins=None):
             st, ep5, pe_prev = carry
             tiles, lpos, vel, vdot, _ = ptl.pic_step(
                 ep5, st.lpos, st.vel, st.alive, charge, qm, ts,
                 interpret=interp, mxu_dtype=self._mxu_dtype,
                 order_acc=self._acc_order, order_distr=self._distr_order,
                 e_ext=self._e_ext, boris_T=self._boris_T,
-                boris_S=self._boris_S)
+                boris_S=self._boris_S, margins=margins)
             rho, phi = solve_fields(tiles)
             ke = 0.5 * mass_j * vdot
             pe = potential_energy(rho, phi)
@@ -1205,6 +1361,13 @@ class TiledSimulation(Simulation):
                 ep5n = ep5n + 0.0 * pe
             return (st2, ep5n, pe), (ke, pe_prev)
 
+        # margin schedule: worth the extra program copies only when the
+        # layout margin exceeds 1 (the P^2 > 128 kron regime) and the
+        # fast windows align with the segment (n % cadence == 0)
+        use_sched = (fresh and self._backend == "pallas"
+                     and ts.M >= 2 and n % min(self.rebucket_every_s) == 0
+                     and self.cfg.get_bool("tiles:marginschedule", True))
+
         def run_n(st, rho_obj=None):
             rho0, phi0, E0 = self._fields(st)
             pe0 = potential_energy(rho0, phi0)
@@ -1212,8 +1375,12 @@ class TiledSimulation(Simulation):
             if not use_ek:
                 ep5_0 = ep5_0 + 0.0 * pe0
             carry = (st, ep5_0, pe0)
-            carry, (ke, pe), dropped = self._scan_with_rebuckets(
-                body, carry, n)
+            if use_sched:
+                carry, (ke, pe), dropped = self._scan_sched(
+                    body, carry, n)
+            else:
+                carry, (ke, pe), dropped = self._scan_with_rebuckets(
+                    lambda c, _: body(c, None), carry, n)
             return carry[0], (ke, pe, dropped)
 
         return _jit_maybe_donate(run_n, donate)

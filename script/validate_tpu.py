@@ -20,10 +20,58 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def check_exchange_exact():
+    """Hardware check of the exchange kernels (Mosaic lowering, not
+    interpret): alive-count conservation AND bit-exact payload transport.
+    Velocities are never frame-shifted by the exchange, so the multiset
+    of alive velocity triples must survive BITWISE; this is what catches
+    default-precision bf16 MXU regressions (ops/pallas_exchange._select
+    _dot) that CPU interpret tests cannot see."""
+    import collections
+
+    import jax.numpy as jnp
+
+    from pinc_tpu.ops import pallas_exchange as pex
+
+    rng = np.random.default_rng(7)
+    nt, T, B, K = (4, 4, 4), 8, 2048, 512
+    NT = 64
+    ok = True
+    for rows, fused in ((False, False), (True, False), (True, True)):
+        alive = (rng.uniform(size=(NT, B)) < 0.6).astype(np.float32)
+        pos = [rng.uniform(-1.5, T + 1.5, (NT, B)).astype(np.float32)
+               for _ in range(3)]
+        vel = [rng.normal(0, 0.37, (NT, B)).astype(np.float32)
+               for _ in range(3)]
+        planes = tuple(jnp.asarray(p) for p in pos + vel)
+        pl2, al2, d = jax.jit(
+            lambda p, a, r=rows, f=fused: pex.rebucket_exchange_planes(
+                p, a, nt, T, K=K, rows=r, fused=f))(
+            planes, jnp.asarray(alive))
+        m0 = alive > 0.5
+        m1 = np.asarray(al2) > 0.5
+        n0, n1 = int(m0.sum()), int(m1.sum())
+        v0 = np.stack([v[m0] for v in vel], 1).astype(np.float32)
+        v1 = np.stack([np.asarray(pl2[c])[m1] for c in (3, 4, 5)],
+                      1).astype(np.float32)
+        same = (collections.Counter(map(bytes, v0.view(np.uint8)
+                                        .reshape(n0, -1)))
+                == collections.Counter(map(bytes, v1.view(np.uint8)
+                                           .reshape(n1, -1))))
+        this = n0 == n1 + int(d) and int(d) == 0 and same
+        ok &= this
+        log(f"exchange rows={rows} fused={fused}: conserve="
+            f"{n0 == n1 + int(d)} dropped={int(d)} "
+            f"payload_bitexact={same}")
+    return ok
+
+
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     from pinc_tpu.config import PincConfig
     from pinc_tpu.tiled_sim import TiledSimulation
+
+    exch_ok = check_exchange_exact()
 
     deck = f"""
 [time]
@@ -58,7 +106,7 @@ slack = 1.0625
     cfg = PincConfig.from_string(deck)
     t0 = time.monotonic()
     sim = TiledSimulation(cfg, seed=1)
-    n0 = int(jax.device_get(sim.state.alive.sum()))
+    n0 = int(jax.device_get(sim.state.alive.astype('int32').sum()))
     log(f"setup {time.monotonic()-t0:.0f}s; {n0:,} particles; "
         f"cadences={sim.rebucket_every_s}")
     run_n = sim.make_scan_steps(steps)
@@ -69,7 +117,7 @@ slack = 1.0625
     ke = np.asarray(ke).sum(axis=1)
     pe = np.asarray(pe)
     tot = ke + pe
-    n1 = int(jax.device_get(st.alive.sum()))
+    n1 = int(jax.device_get(st.alive.astype('int32').sum()))
     log(f"{steps} steps in {wall:.1f}s including the scan compile "
         f"({n0 * steps / wall:.3e} psteps/s lower bound)")
     log(f"particles {n0:,} -> {n1:,}  dropped={int(dropped)}")
@@ -87,7 +135,7 @@ slack = 1.0625
     # the population over the whole run (the bench deck's lambda_D =
     # 0.1 dx grid heating raises the velocity tail ~5% over 400 steps,
     # which pushes a handful of rows past the K=128 face cap)
-    ok = (n0 - n1 == int(dropped)
+    ok = (exch_ok and n0 - n1 == int(dropped)
           and int(dropped) <= max(1, 5 * n0 // 1_000_000)
           and at_rb.mean() < 5.0 * max(others.mean(), 1e-12))
     log("VALIDATION " + ("PASS" if ok else "FAIL"))
