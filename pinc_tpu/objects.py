@@ -106,10 +106,89 @@ def surface_normals(interior_any: np.ndarray) -> np.ndarray:
 
 
 #: collision responses; 'absorb' is the charge-collecting kill (the
-#: reference's only working behavior); reflect/backscatter implement the
-#: machinery the reference stubbed (pReflect/pBackscatter,
-#: src/population.c:468-495)
-COLLISION_TYPES = ("absorb", "reflect", "backscatter")
+#: reference's only working behavior); reflect/backscatter/adhere/secondary
+#: implement the machinery the reference stubbed (pReflect/pBackscatter/
+#: pAdhere/pSecondaryElectron, src/population.c:468-495):
+#: * adhere    — kill at the trajectory-surface intersection, deposit the
+#:               particle's charge on the nearest *surface* node (localized,
+#:               unlike absorb's uniform spread).
+#: * secondary — absorb the impactor (charge collected as usual) and emit
+#:               ``objects:seeYield`` secondaries of species
+#:               ``objects:seeSpecies`` from the intersection point with
+#:               cosine-distributed directions about the outward normal at
+#:               speed ``objects:seeVth``; the emitted charge is debited
+#:               from the object surface so total charge is conserved.
+COLLISION_TYPES = ("absorb", "reflect", "backscatter", "adhere", "secondary")
+
+
+def _hash_uniform(bits: jax.Array) -> jax.Array:
+    """Cheap stateless uint32 -> float32 in [0,1) (xorshift-multiply mix).
+    Used for emission angles: decorrelated across steps by mixing the
+    impactor's velocity bits, without threading a PRNG key through the
+    jitted step."""
+    x = bits.astype(jnp.uint32)
+    x = x ^ (x >> 17)
+    x = x * jnp.uint32(0xED5AD4BB)
+    x = x ^ (x >> 11)
+    x = x * jnp.uint32(0xAC4C1B51)
+    x = x ^ (x >> 15)
+    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def cosine_directions(n: jax.Array, u1: jax.Array,
+                      u2: jax.Array) -> jax.Array:
+    """Cosine-weighted hemisphere directions about unit normals ``n``
+    (..., D).  For D != 3 falls back to the normal itself."""
+    D = n.shape[-1]
+    if D != 3:
+        return n
+    st = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
+    ct = jnp.sqrt(jnp.clip(1.0 - u1, 0.0, 1.0))
+    ph = (2.0 * np.pi) * u2
+    # tangent frame: pick the axis least aligned with n
+    a = jnp.where(jnp.abs(n[..., 2:3]) < 0.9,
+                  jnp.asarray([0.0, 0.0, 1.0], n.dtype),
+                  jnp.asarray([1.0, 0.0, 0.0], n.dtype))
+    t1 = jnp.cross(a, n)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return (ct[..., None] * n
+            + (st * jnp.cos(ph))[..., None] * t1
+            + (st * jnp.sin(ph))[..., None] * t2)
+
+
+def intersect_segments(pos: jax.Array, vel: jax.Array,
+                       interior_id: jax.Array, normals: jax.Array, L,
+                       n_bisect: int = 10):
+    """Bisection search for the surface crossing of [pos - vel, pos]
+    (the reference's intended oFindIntersectPoint, src/object.c:638-660,
+    made data-parallel).  Returns (t, x_int, n): the crossing parameter
+    (just outside the surface), the crossing point, and the outward unit
+    normal sampled at its cell."""
+    Lf = jnp.asarray(L, pos.dtype)
+    Li = jnp.asarray(L, jnp.int32)
+
+    def interior(x):
+        c = jnp.floor(jnp.mod(x, Lf)).astype(jnp.int32)
+        c = jnp.clip(c, 0, Li - 1)
+        return interior_id[tuple(jnp.moveaxis(c, -1, 0))] > 0
+
+    prev = pos - vel
+    # bisection on t in [0, 1]: prev (t=0) outside, pos (t=1) inside;
+    # fixed iteration count keeps the whole search in registers
+    lo = jnp.zeros(pos.shape[:-1], pos.dtype)
+    hi = jnp.ones(pos.shape[:-1], pos.dtype)
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        inside = interior(prev + mid[..., None] * vel)
+        lo = jnp.where(inside, lo, mid)
+        hi = jnp.where(inside, mid, hi)
+    t = lo                                      # just outside the surface
+    x_int = prev + t[..., None] * vel
+    cell = jnp.clip(jnp.floor(jnp.mod(x_int, Lf)).astype(jnp.int32),
+                    0, Li - 1)
+    n = normals[tuple(jnp.moveaxis(cell, -1, 0))]          # (..., D)
+    return t, x_int, n
 
 
 def collide_segments(pos: jax.Array, vel: jax.Array, hit: jax.Array,
@@ -138,21 +217,8 @@ def collide_segments(pos: jax.Array, vel: jax.Array, hit: jax.Array,
         c = jnp.clip(c, 0, Li - 1)
         return interior_id[tuple(jnp.moveaxis(c, -1, 0))] > 0
 
-    prev = pos - vel
-    # bisection on t in [0, 1]: prev (t=0) outside, pos (t=1) inside;
-    # fixed iteration count keeps the whole search in registers
-    lo = jnp.zeros(pos.shape[:-1], pos.dtype)
-    hi = jnp.ones(pos.shape[:-1], pos.dtype)
-    for _ in range(n_bisect):
-        mid = 0.5 * (lo + hi)
-        inside = interior(prev + mid[..., None] * vel)
-        lo = jnp.where(inside, lo, mid)
-        hi = jnp.where(inside, mid, hi)
-    t = lo                                      # just outside the surface
-    x_int = prev + t[..., None] * vel
-    cell = jnp.clip(jnp.floor(jnp.mod(x_int, Lf)).astype(jnp.int32),
-                    0, Li - 1)
-    n = normals[tuple(jnp.moveaxis(cell, -1, 0))]          # (..., D)
+    t, x_int, n = intersect_segments(pos, vel, interior_id, normals, L,
+                                     n_bisect=n_bisect)
     if method == "reflect":
         vn = jnp.sum(vel * n, axis=-1, keepdims=True)
         v_new = vel - 2.0 * vn * n
@@ -181,6 +247,10 @@ class ObjectSystem:
     shape: Tuple[int, ...]
     normals: Optional[jax.Array] = None          # (*L, D) outward normals
     collision_types: Tuple[str, ...] = ()        # per species response
+    surface_id: Optional[jax.Array] = None  # (*L,) int32 surface ids (adhere)
+    see_yield: int = 1                      # secondaries per impact
+    see_vth: float = 0.05                   # secondary emission speed
+    see_species: int = 0                    # species index of secondaries
 
     @property
     def has_collisions(self) -> bool:
@@ -190,7 +260,9 @@ class ObjectSystem:
     @classmethod
     def build(cls, domain: np.ndarray, solver, dtype=jnp.float32,
               periodic: bool = True, batch: int = 16,
-              collision_types: Sequence[str] = ()) -> "ObjectSystem":
+              collision_types: Sequence[str] = (),
+              see_yield: int = 1, see_vth: float = 0.05,
+              see_species: int = 0) -> "ObjectSystem":
         shape = domain.shape
         ids = np.rint(domain).astype(np.int32)
         n_objects = int(ids.max())
@@ -224,11 +296,19 @@ class ObjectSystem:
                     f"objects:collisionType {m!r} not in {COLLISION_TYPES}")
         norm = (jnp.asarray(surface_normals(interior_id > 0))
                 if any(m != "absorb" for m in collision_types) else None)
+        sid = None
+        if "adhere" in collision_types:
+            sid_np = np.zeros(shape, np.int32)
+            for a in range(n_objects):
+                sid_np[surface[a]] = a + 1
+            sid = jnp.asarray(sid_np)
         return cls(domain=domain, n_objects=n_objects,
                    interior_id=jnp.asarray(interior_id),
                    surface_idx=surface_idx, inv_cap=inv_cap,
                    cap_sum=cap_sum, shape=tuple(shape),
-                   normals=norm, collision_types=collision_types)
+                   normals=norm, collision_types=collision_types,
+                   surface_id=sid, see_yield=int(see_yield),
+                   see_vth=float(see_vth), see_species=int(see_species))
 
     @staticmethod
     def _potential_matrix(idx: np.ndarray, shape, solver, dtype,
@@ -261,17 +341,19 @@ class ObjectSystem:
         return A
 
     # -------------------------------------------------------------- runtime
-    def collide(self, p: Particles,
-                params: SpeciesParams) -> Tuple[Particles, jax.Array]:
+    def collide(self, p: Particles, params: SpeciesParams,
+                rho_obj: Optional[jax.Array] = None):
         """Apply the per-species collision response to particles whose
         move ended inside an object (the working version of
         oParticleCollision, src/object.c:611-665).  Species with
         'absorb' are untouched — collect_charge kills them next, as are
         response failures (returned count).  Call after the move, before
-        collect_charge."""
+        collect_charge.  Returns (particles, rho_obj, n_failed); rho_obj
+        is modified by 'adhere' (localized charge) and 'secondary'
+        (emitted-charge debit) and passed through otherwise."""
         S, cap, D = p.cell.shape
         L = self.shape
-        cell, frac, vel = p.cell, p.frac, p.vel
+        cell, frac, vel, alive = p.cell, p.frac, p.vel, p.alive
         n_failed = jnp.zeros((), jnp.int32)
         for s in range(S):
             m = (self.collision_types[s]
@@ -280,7 +362,18 @@ class ObjectSystem:
                 continue
             pos = cell[s].astype(jnp.float32) + frac[s]
             node = tuple(cell[s][..., d] for d in range(D))
-            hit = p.alive[s] & (self.interior_id[node] > 0)
+            hit = alive[s] & (self.interior_id[node] > 0)
+            if m == "adhere":
+                rho_obj, alive = self._adhere(s, pos, vel[s], hit, alive,
+                                              params, rho_obj)
+                continue
+            if m == "secondary":
+                # impactor stays interior: collect_charge absorbs it and
+                # books its charge; here we only emit the secondaries
+                cell, frac, vel, alive, rho_obj = self._emit_secondaries(
+                    s, pos, vel, hit, cell, frac, alive, params, rho_obj,
+                    oid=self.interior_id[node])
+                continue
             pos2, vel2, failed = collide_segments(
                 pos, vel[s], hit, self.interior_id, self.normals, L, m)
             c2 = jnp.floor(pos2).astype(jnp.int32)
@@ -289,8 +382,102 @@ class ObjectSystem:
                                             frac[s]))
             vel = vel.at[s].set(vel2)
             n_failed = n_failed + jnp.sum(failed).astype(jnp.int32)
-        return (Particles(cell=cell, frac=frac, vel=vel, alive=p.alive),
-                n_failed)
+        return (Particles(cell=cell, frac=frac, vel=vel, alive=alive),
+                rho_obj, n_failed)
+
+    def _nearest_surface_flat(self, x_int: jax.Array) -> jax.Array:
+        """Flat index of the surface node nearest the intersection point:
+        search the 2^D corners of the intersection cell for surface nodes
+        (one gather per corner), fall back to the nearest corner."""
+        Lf = jnp.asarray(self.shape, x_int.dtype)
+        Li = jnp.asarray(self.shape, jnp.int32)
+        D = len(self.shape)
+        base = jnp.floor(jnp.mod(x_int, Lf)).astype(jnp.int32)
+        best_flat = None
+        best_d = None
+        for offs in itertools.product((0, 1), repeat=D):
+            c = jnp.mod(base + jnp.asarray(offs, jnp.int32), Li)
+            flat = jnp.ravel_multi_index(
+                tuple(jnp.moveaxis(c, -1, 0)), self.shape, mode="clip")
+            on_surf = self.surface_id.ravel()[flat] > 0
+            d = jnp.sum((x_int - (base + jnp.asarray(offs, x_int.dtype)))
+                        ** 2, axis=-1)
+            d = jnp.where(on_surf, d, d + 1e6)   # prefer surface corners
+            if best_flat is None:
+                best_flat, best_d = flat, d
+            else:
+                take = d < best_d
+                best_flat = jnp.where(take, flat, best_flat)
+                best_d = jnp.minimum(d, best_d)
+        return best_flat
+
+    def _adhere(self, s, pos, vel_s, hit, alive, params, rho_obj):
+        """pAdhere (src/population.c:490-495, stubbed there): kill the
+        impactor at its trajectory-surface intersection and deposit its
+        charge on the nearest surface node of the persistent rho_obj."""
+        if rho_obj is None:
+            raise ValueError("adhere response requires rho_obj threading")
+        _, x_int, _ = intersect_segments(pos, vel_s, self.interior_id,
+                                         self.normals, self.shape)
+        flat_idx = self._nearest_surface_flat(x_int)
+        q = jnp.where(hit, params.charge[s], 0.0).astype(rho_obj.dtype)
+        rho_obj = rho_obj.ravel().at[flat_idx].add(q).reshape(self.shape)
+        alive = alive.at[s].set(alive[s] & ~hit)
+        return rho_obj, alive
+
+    def _emit_secondaries(self, s, pos, vel, hit, cell, frac, alive,
+                          params, rho_obj, oid):
+        """pSecondaryElectron (src/population.c:468-482, stubbed there):
+        emit see_yield particles of species see_species from each
+        impact's surface intersection, cosine-distributed about the
+        outward normal at speed see_vth, into free (dead) slots of the
+        target species' fixed-capacity arrays.  Overflow (no free slot)
+        drops the secondary silently — same discipline as migration.
+        The emitted charge is debited from the object surface (uniform
+        spread via rho_obj) so total charge is conserved."""
+        tgt, Y = self.see_species, self.see_yield
+        S, cap, D = cell.shape
+        _, x_int, n = intersect_segments(pos, vel[s], self.interior_id,
+                                         self.normals, self.shape)
+        # emission point: nudged just outside along the normal
+        x_emit = jnp.mod(x_int + 0.01 * n,
+                         jnp.asarray(self.shape, x_int.dtype))
+        bits = (jnp.arange(cap, dtype=jnp.uint32)
+                ^ jax.lax.bitcast_convert_type(vel[s][..., 0],
+                                               jnp.uint32))
+        # free slots of the target species, dead-first
+        order = jnp.argsort(alive[tgt])          # False (dead) sorts first
+        n_dead = (cap - jnp.sum(alive[tgt])).astype(jnp.int32)
+        rank = jnp.cumsum(hit) - 1               # rank among hits
+        c_e = jnp.floor(x_emit).astype(jnp.int32)
+        f_e = (x_emit - c_e).astype(frac.dtype)
+        for k in range(Y):
+            u1 = _hash_uniform(bits + jnp.uint32(2 * k + 1))
+            u2 = _hash_uniform(bits * jnp.uint32(0x9E3779B1)
+                               + jnp.uint32(k))
+            v_e = (self.see_vth
+                   * cosine_directions(n, u1, u2)).astype(vel.dtype)
+            grank = rank * Y + k
+            ok = hit & (grank >= 0) & (grank < n_dead)
+            slot = jnp.where(ok, order[jnp.clip(grank, 0, cap - 1)], cap)
+            cell = cell.at[tgt, slot].set(c_e, mode="drop")
+            frac = frac.at[tgt, slot].set(f_e, mode="drop")
+            vel = vel.at[tgt, slot].set(v_e, mode="drop")
+            alive = alive.at[tgt, slot].set(True, mode="drop")
+            if rho_obj is not None:
+                # debit the emitted charge from the impacted object's
+                # surface (uniform spread, mirroring collect_charge)
+                dq = jnp.where(ok, -params.charge[tgt], 0.0)
+                counter = jax.ops.segment_sum(
+                    dq, jnp.where(ok, oid, 0),
+                    num_segments=self.n_objects + 1)[1:]
+                flat = rho_obj.ravel()
+                for a in range(self.n_objects):
+                    share = counter[a] / float(len(self.surface_idx[a]))
+                    flat = flat.at[jnp.asarray(self.surface_idx[a])].add(
+                        share.astype(rho_obj.dtype))
+                rho_obj = flat.reshape(self.shape)
+        return cell, frac, vel, alive, rho_obj
 
     def collect_charge(self, p: Particles, params: SpeciesParams,
                        rho_obj: jax.Array) -> Tuple[Particles, jax.Array]:
@@ -409,8 +596,10 @@ def from_config(cfg: PincConfig, spec, solver) -> Optional[ObjectSystem]:
                         raise ValueError(
                             f"object grid {name} shape {domain.shape} != "
                             f"deck global size {spec.global_size}")
-                    return ObjectSystem.build(domain, solver,
-                                              dtype=spec.dtype,
-                                              periodic=spec.periodic,
-                                              collision_types=ctypes)
+                    return ObjectSystem.build(
+                        domain, solver, dtype=spec.dtype,
+                        periodic=spec.periodic, collision_types=ctypes,
+                        see_yield=cfg.get_int("objects:seeyield", 1),
+                        see_vth=cfg.get_double("objects:seevth", 0.05),
+                        see_species=cfg.get_int("objects:seespecies", 0))
     return None

@@ -202,11 +202,14 @@ class Simulation:
 
         obj_phi = None
         if self.objects is not None:
+            if rho_obj is None:
+                rho_obj = self.spec.zeros()
             if self.objects.has_collisions:
-                # reflect/backscatter responses first (the reference's
-                # stubbed oParticleCollision); failures stay interior and
-                # are absorbed by collect_charge below
-                particles, _ = self.objects.collide(particles, self.params)
+                # reflect/backscatter/adhere/secondary responses first
+                # (the reference's stubbed oParticleCollision); failures
+                # stay interior and are absorbed by collect_charge below
+                particles, rho_obj, _ = self.objects.collide(
+                    particles, self.params, rho_obj)
             particles, rho_obj = self.objects.collect_charge(
                 particles, self.params, rho_obj)
             rho = self.distr(particles, self.params, self.spec.global_size,

@@ -205,3 +205,126 @@ def test_collision_type_validation():
     with pytest.raises(ValueError, match="collisionType"):
         ObjectSystem.build(dom, SpectralSolver((L,) * 3), periodic=True,
                            collision_types=("bounce",))
+
+
+# ---------------------------------------------------------------------------
+# adhere + secondary-electron emission (pAdhere / pSecondaryElectron,
+# src/population.c:468-495, stubbed in the reference)
+# ---------------------------------------------------------------------------
+
+def _build_obj(ctypes, **kw):
+    import jax
+    L = 16
+    dom = make_box((L,) * 3, (0, 0, 10), (L - 1, L - 1, L - 1))
+    solver = SpectralSolver((L,) * 3)
+    return ObjectSystem.build(dom, jax.jit(solver), periodic=True,
+                              collision_types=ctypes, **kw), L
+
+
+def _particles(cell, frac, vel, cap=8, S=2):
+    from pinc_tpu.population import Particles
+    D = 3
+    c = np.zeros((S, cap, D), np.int32)
+    f = np.full((S, cap, D), 0.5, np.float32)
+    v = np.zeros((S, cap, D), np.float32)
+    a = np.zeros((S, cap), bool)
+    for (s, i), (cc, ff, vv) in zip([(k // cap, k % cap)
+                                     for k in range(len(cell))],
+                                    zip(cell, frac, vel)):
+        c[s, i], f[s, i], v[s, i], a[s, i] = cc, ff, vv, True
+    return Particles(cell=jnp.asarray(c), frac=jnp.asarray(f),
+                     vel=jnp.asarray(v), alive=jnp.asarray(a))
+
+
+def test_adhere_kills_and_localizes_charge():
+    """adhere: the impactor dies at its surface intersection and its
+    charge lands on exactly one *surface* node of rho_obj (localized,
+    unlike absorb's uniform spread)."""
+    from pinc_tpu.population import SpeciesParams
+    obj, L = _build_obj(("adhere", "adhere"))
+    # one particle that crossed into the wall along +z
+    p = _particles(cell=[(5, 5, 10)], frac=[(0.5, 0.5, 0.3)],
+                   vel=[(0.0, 0.0, 0.8)])
+    params = SpeciesParams(charge=jnp.asarray([-1.0, 1.0]),
+                           mass=jnp.asarray([1.0, 100.0]))
+    rho_obj = jnp.zeros((L,) * 3)
+    p2, rho_obj, nf = obj.collide(p, params, rho_obj)
+    assert int(p2.alive.sum()) == 0          # impactor adhered (killed)
+    r = np.asarray(rho_obj)
+    nz = np.argwhere(r != 0)
+    assert len(nz) == 1                       # localized, one node
+    sid = np.asarray(obj.surface_id)
+    assert sid[tuple(nz[0])] > 0              # ... and it is a surface node
+    assert r.sum() == pytest.approx(-1.0)     # the impactor's charge
+
+
+def test_secondary_emission_spawns_into_free_slots():
+    """secondary: each ion impact leaves the impactor for absorption and
+    spawns seeYield secondaries of the electron species just outside the
+    surface, moving away from it; the emitted charge is debited from the
+    object surface so the total charge in (particles + rho_obj) is
+    conserved."""
+    from pinc_tpu.population import SpeciesParams
+    obj, L = _build_obj(("absorb", "secondary"), see_yield=2, see_vth=0.3,
+                        see_species=0)
+    # two ion impactors (species 1), electron species has free slots
+    p = _particles(cell=[(5, 5, 10), (9, 9, 10)],
+                   frac=[(0.5, 0.5, 0.3), (0.5, 0.5, 0.2)],
+                   vel=[(0.0, 0.0, 0.8), (0.0, 0.0, 0.7)], cap=8)
+    # move impactors to species 1
+    cell = jnp.zeros_like(p.cell).at[1].set(p.cell[0])
+    frac = jnp.full_like(p.frac, 0.5).at[1].set(p.frac[0])
+    vel = jnp.zeros_like(p.vel).at[1].set(p.vel[0])
+    alive = jnp.zeros_like(p.alive).at[1].set(p.alive[0])
+    from pinc_tpu.population import Particles
+    p = Particles(cell=cell, frac=frac, vel=vel, alive=alive)
+    params = SpeciesParams(charge=jnp.asarray([-1.0, 1.0]),
+                           mass=jnp.asarray([1.0, 1836.0]))
+    rho_obj = jnp.zeros((L,) * 3)
+    p2, rho_obj, nf = obj.collide(p, params, rho_obj)
+    # 2 impacts x yield 2 = 4 secondaries in the electron species
+    assert int(p2.alive[0].sum()) == 4
+    assert int(p2.alive[1].sum()) == 2        # impactors still interior
+    # secondaries sit outside the object, moving away from it (v_z < 0)
+    sec = np.asarray(p2.alive[0])
+    cells = np.asarray(p2.cell[0])[sec]
+    oid = np.asarray(obj.interior_id)
+    assert (oid[cells[:, 0], cells[:, 1], cells[:, 2]] == 0).all()
+    assert (np.asarray(p2.vel[0])[sec][:, 2] < 0).all()
+    speeds = np.linalg.norm(np.asarray(p2.vel[0])[sec], axis=-1)
+    assert speeds == pytest.approx(0.3, rel=1e-5)
+    # charge conservation: emitted -4e debited from the surface
+    assert float(np.asarray(rho_obj).sum()) == pytest.approx(4.0)
+    # overflow discipline: with zero free slots nothing corrupts
+    p_full = Particles(cell=cell, frac=frac, vel=vel,
+                       alive=jnp.ones_like(alive))
+    p3, _, _ = obj.collide(p_full, params, jnp.zeros((L,) * 3))
+    assert int(p3.alive[0].sum()) == 8
+
+
+def test_sphere_adhere_deck_runs(tmp_path):
+    """Deck-level smoke: a sphere deck with adhere for both species runs;
+    adhered charge lands only on surface nodes and nothing penetrates."""
+    sim = Simulation(_sphere_cfg(tmp_path, "adhere", steps=6), seed=4)
+    sim.run(progress_every=0)
+    _assert_no_penetration(sim)
+    r = np.asarray(sim.last_rho_obj)
+    sid = np.asarray(sim.objects.surface_id)
+    assert (r[sid == 0] == 0).all()
+
+
+def test_sphere_secondary_deck_runs(tmp_path):
+    """Deck-level smoke: ions emit secondaries (into electron free slots
+    opened by electron absorption); the run completes with sane energy."""
+    L = 16
+    dom = make_sphere((L,) * 3, (8, 8, 8), 2.5)
+    path = str(tmp_path / "sphere.grid.h5")
+    save_domain(path, dom)
+    deck = SPHERE_DECK.format(path=path, ctype="absorb", steps=6,
+                              extra="")
+    deck = deck.replace("collisionType = absorb,absorb",
+                        "collisionType = absorb,secondary\n"
+                        "seeYield = 1\nseeVth = 0.1\nseeSpecies = 0")
+    sim = Simulation(PincConfig.from_string(deck), seed=4)
+    hist = sim.run(progress_every=0)
+    assert np.isfinite(hist["kinetic"]).all()
