@@ -553,7 +553,15 @@ class TiledSimulation(Simulation):
     # --------------------------------------------------------------- step
     def _collision_type(self, s: int) -> str:
         ct = self.objects.collision_types
-        return ct[s] if s < len(ct) else "absorb"
+        m = ct[s] if s < len(ct) else "absorb"
+        if m in ("adhere", "secondary"):
+            # per-bucket free-slot spawning / localized adhesion are not
+            # built on the tiled layout yet — fail loudly rather than
+            # silently absorbing (the flat layout implements both)
+            raise NotImplementedError(
+                f"objects:collisionType {m!r} is only supported on the "
+                f"flat layout; this deck selected the tiled layout")
+        return m
 
     def _collide_tile_planes(self, lp, vl, al, origins, method, valid=None):
         """Collision response on near-object tile planes: lp/vl (D, NTo,
