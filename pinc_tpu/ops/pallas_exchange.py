@@ -1044,14 +1044,35 @@ def rebucket_exchange_planes(planes: Tuple[jax.Array, ...], alive: jax.Array,
                              ntiles: Tuple[int, ...], T: int, K: int,
                              interpret: bool = False, roll_fns=None,
                              ks: int = None, rows: bool = False,
-                             fused: bool = True):
+                             fused: bool = True, impl: str = "auto"):
     """Full 3D re-bucket on component planes.  rows=True with fused=True
     (the default) takes the single-pass v5 exchange; otherwise three
     sequential per-dim sweeps (corner flows ride two sweeps, like the
     reference's per-dim migration).  Returns (planes', alive',
     n_dropped).  roll_fns: per-dim buffer-wrap overrides for sharded tile
-    grids.  ks/rows: see exchange_dim."""
+    grids.  ks/rows: see exchange_dim.
+
+    impl: "gather" takes the v6 dynamic-lane-gather kernels
+    (ops/pallas_gather_exchange — no one-hot builds, no MXU payload
+    dots, structurally bit-exact); "onehot" the matmul kernels here;
+    "auto" (default) picks gather whenever its layout precondition
+    (B % 1024 == 0, 3-D tile grid) holds."""
     NT, B = alive.shape
+    if impl != "onehot" and rows and len(ntiles) == 3:
+        from . import pallas_gather_exchange as pgx
+        if pgx.supported(B) or impl == "gather":
+            Ks = pgx.round_cap(ks or default_row_cap(K, B))
+            if fused:
+                return pgx.rebucket_exchange_all_rows_g(
+                    planes, alive, ntiles, T, Ks, interpret=interpret,
+                    roll_fns=roll_fns)
+            n0 = jnp.sum(alive.astype(jnp.int32))
+            for d in range(3):
+                planes, alive = pgx.exchange_dim_g(
+                    planes, alive, ntiles, d, T, Ks, interpret=interpret,
+                    roll_fn=roll_fns[d] if roll_fns else None)
+            dropped = n0 - jnp.sum(alive.astype(jnp.int32))
+            return planes, alive, dropped
     if rows and fused and B % 8 == 0 and len(ntiles) == 3:
         Ks = ks or default_row_cap(K, B)
         return rebucket_exchange_all_rows(
