@@ -91,10 +91,9 @@ slack = 1.0625
     if layout == "tiled":
         # size the window to the slow species' re-bucket cadence: every
         # species is then freshly re-bucketed at window boundaries
-        # (including in-window, at the window's own end), which unlocks
-        # the per-step margin schedule (make_scan_steps fresh=True) and
-        # keeps back-to-back windows honest — each window carries ALL of
-        # its own re-bucket cost
+        # (including in-window, at the window's own end), which keeps
+        # back-to-back windows honest — each window carries ALL of its
+        # own re-bucket cost
         Rs = sim.rebucket_every_s
         Ri, Re = max(Rs), min(Rs)
         if Ri % Re == 0 and Ri <= 400:
@@ -135,17 +134,38 @@ slack = 1.0625
                 f"cap={sim._exchange_cap} (recompile "
                 f"{time.monotonic()-t0:.1f}s)")
 
-    t0 = time.monotonic()
-    if layout == "tiled":
-        carry, (ke, pe, dropped) = run_n(carry)
-    else:
-        carry, (ke, pe) = run_n(*carry)
-        dropped = 0
-    jax.block_until_ready(leaf(carry))
-    wall = time.monotonic() - t0
-    psteps = n_particles * steps / wall
-    log(f"{steps} steps in {wall:.3f}s -> {psteps:.3e} particle-steps/s "
-        f"(KE[-1]={float(ke[-1].sum()):.4g}, dropped={int(dropped)})")
+    # timed window, re-run retuned if it dropped particles: a heating
+    # deck can outgrow its cadence/cap mid-window, and a headline number
+    # that lost particles is not a clean number (the r03 verdict).  Each
+    # retry pays a recompile, so bound the attempts.
+    for attempt in range(3):
+        t0 = time.monotonic()
+        if layout == "tiled":
+            carry, (ke, pe, dropped) = run_n(carry)
+        else:
+            carry, (ke, pe) = run_n(*carry)
+            dropped = 0
+        jax.block_until_ready(leaf(carry))
+        wall = time.monotonic() - t0
+        psteps = n_particles * steps / wall
+        log(f"{steps} steps in {wall:.3f}s -> {psteps:.3e} "
+            f"particle-steps/s (KE[-1]={float(ke[-1].sum()):.4g}, "
+            f"dropped={int(dropped)})")
+        if not int(dropped) or layout != "tiled" or attempt == 2:
+            break
+        if not sim.retune(carry, drops=int(dropped)):
+            break
+        Rs = sim.rebucket_every_s
+        Ri, Re = max(Rs), min(Rs)
+        if Ri % Re == 0 and Ri <= 400:
+            steps = Ri * max(1, round(steps / Ri))
+        run_n = sim.make_scan_steps(steps, donate=True, fresh=fresh)
+        t0 = time.monotonic()
+        carry, _ = run_n(carry)
+        jax.block_until_ready(leaf(carry))
+        log(f"timed window dropped particles -> retuned "
+            f"(cadences={sim.rebucket_every_s}, cap={sim._exchange_cap}, "
+            f"recompile {time.monotonic()-t0:.1f}s); re-running")
     if int(dropped):
         log(f"WARNING: {int(dropped)} particle(s) dropped by re-bucket "
             f"overflow during the timed window (raise tiles:slack / "

@@ -251,6 +251,7 @@ class ObjectSystem:
     see_yield: int = 1                      # secondaries per impact
     see_vth: float = 0.05                   # secondary emission speed
     see_species: int = 0                    # species index of secondaries
+    periodic: bool = True                   # deck boundary wrap (all dims)
 
     @property
     def has_collisions(self) -> bool:
@@ -308,7 +309,8 @@ class ObjectSystem:
                    cap_sum=cap_sum, shape=tuple(shape),
                    normals=norm, collision_types=collision_types,
                    surface_id=sid, see_yield=int(see_yield),
-                   see_vth=float(see_vth), see_species=int(see_species))
+                   see_vth=float(see_vth), see_species=int(see_species),
+                   periodic=bool(periodic))
 
     @staticmethod
     def _potential_matrix(idx: np.ndarray, shape, solver, dtype,
@@ -364,15 +366,18 @@ class ObjectSystem:
             node = tuple(cell[s][..., d] for d in range(D))
             hit = alive[s] & (self.interior_id[node] > 0)
             if m == "adhere":
-                rho_obj, alive = self._adhere(s, pos, vel[s], hit, alive,
-                                              params, rho_obj)
+                rho_obj, alive, failed = self._adhere(
+                    s, pos, vel[s], hit, alive, params, rho_obj)
+                n_failed = n_failed + jnp.sum(failed).astype(jnp.int32)
                 continue
             if m == "secondary":
                 # impactor stays interior: collect_charge absorbs it and
                 # books its charge; here we only emit the secondaries
-                cell, frac, vel, alive, rho_obj = self._emit_secondaries(
+                (cell, frac, vel, alive, rho_obj,
+                 failed) = self._emit_secondaries(
                     s, pos, vel, hit, cell, frac, alive, params, rho_obj,
                     oid=self.interior_id[node])
+                n_failed = n_failed + jnp.sum(failed).astype(jnp.int32)
                 continue
             pos2, vel2, failed = collide_segments(
                 pos, vel[s], hit, self.interior_id, self.normals, L, m)
@@ -392,7 +397,11 @@ class ObjectSystem:
         Lf = jnp.asarray(self.shape, x_int.dtype)
         Li = jnp.asarray(self.shape, jnp.int32)
         D = len(self.shape)
-        base = jnp.floor(jnp.mod(x_int, Lf)).astype(jnp.int32)
+        # distances must use the WRAPPED position: base comes from
+        # mod(x_int, L), so an unwrapped x_int (segment crossed a
+        # periodic boundary) would rank corners by distorted distances
+        xw = jnp.mod(x_int, Lf)
+        base = jnp.floor(xw).astype(jnp.int32)
         best_flat = None
         best_d = None
         for offs in itertools.product((0, 1), repeat=D):
@@ -400,7 +409,7 @@ class ObjectSystem:
             flat = jnp.ravel_multi_index(
                 tuple(jnp.moveaxis(c, -1, 0)), self.shape, mode="clip")
             on_surf = self.surface_id.ravel()[flat] > 0
-            d = jnp.sum((x_int - (base + jnp.asarray(offs, x_int.dtype)))
+            d = jnp.sum((xw - (base + jnp.asarray(offs, x_int.dtype)))
                         ** 2, axis=-1)
             d = jnp.where(on_surf, d, d + 1e6)   # prefer surface corners
             if best_flat is None:
@@ -411,19 +420,33 @@ class ObjectSystem:
                 best_d = jnp.minimum(d, best_d)
         return best_flat
 
+    def _interior_at(self, x: jax.Array) -> jax.Array:
+        """interior_id > 0 at the (wrapped, clipped) cell of x."""
+        Lf = jnp.asarray(self.shape, x.dtype)
+        Li = jnp.asarray(self.shape, jnp.int32)
+        c = jnp.clip(jnp.floor(jnp.mod(x, Lf)).astype(jnp.int32),
+                     0, Li - 1)
+        return self.interior_id[tuple(jnp.moveaxis(c, -1, 0))] > 0
+
     def _adhere(self, s, pos, vel_s, hit, alive, params, rho_obj):
         """pAdhere (src/population.c:490-495, stubbed there): kill the
         impactor at its trajectory-surface intersection and deposit its
-        charge on the nearest surface node of the persistent rho_obj."""
+        charge on the nearest surface node of the persistent rho_obj.
+        Hits whose segment start was ALSO interior (fast tunneling
+        through thin geometry) have no crossing to bisect: they are
+        counted failed and left to collect_charge's absorb, same as
+        collide_segments' failure discipline."""
         if rho_obj is None:
             raise ValueError("adhere response requires rho_obj threading")
+        failed = hit & self._interior_at(pos - vel_s)
+        ok = hit & ~failed
         _, x_int, _ = intersect_segments(pos, vel_s, self.interior_id,
                                          self.normals, self.shape)
         flat_idx = self._nearest_surface_flat(x_int)
-        q = jnp.where(hit, params.charge[s], 0.0).astype(rho_obj.dtype)
+        q = jnp.where(ok, params.charge[s], 0.0).astype(rho_obj.dtype)
         rho_obj = rho_obj.ravel().at[flat_idx].add(q).reshape(self.shape)
-        alive = alive.at[s].set(alive[s] & ~hit)
-        return rho_obj, alive
+        alive = alive.at[s].set(alive[s] & ~ok)
+        return rho_obj, alive, failed
 
     def _emit_secondaries(self, s, pos, vel, hit, cell, frac, alive,
                           params, rho_obj, oid):
@@ -437,11 +460,20 @@ class ObjectSystem:
         spread via rho_obj) so total charge is conserved."""
         tgt, Y = self.see_species, self.see_yield
         S, cap, D = cell.shape
+        # no crossing to bisect when the segment START was already
+        # interior (tunneling through thin geometry): count failed, emit
+        # nothing — the impactor is absorbed by collect_charge either way
+        failed = hit & self._interior_at(pos - vel[s])
+        hit = hit & ~failed
         _, x_int, n = intersect_segments(pos, vel[s], self.interior_id,
                                          self.normals, self.shape)
-        # emission point: nudged just outside along the normal
-        x_emit = jnp.mod(x_int + 0.01 * n,
-                         jnp.asarray(self.shape, x_int.dtype))
+        # emission point: nudged just outside along the normal; wrap on
+        # periodic decks, clip on bounded ones (mod would teleport an
+        # edge emission to the opposite side)
+        Lf = jnp.asarray(self.shape, x_int.dtype)
+        x_emit = x_int + 0.01 * n
+        x_emit = (jnp.mod(x_emit, Lf) if self.periodic
+                  else jnp.clip(x_emit, 0.0, Lf - 1e-3))
         bits = (jnp.arange(cap, dtype=jnp.uint32)
                 ^ jax.lax.bitcast_convert_type(vel[s][..., 0],
                                                jnp.uint32))
@@ -477,7 +509,7 @@ class ObjectSystem:
                     flat = flat.at[jnp.asarray(self.surface_idx[a])].add(
                         share.astype(rho_obj.dtype))
                 rho_obj = flat.reshape(self.shape)
-        return cell, frac, vel, alive, rho_obj
+        return cell, frac, vel, alive, rho_obj, failed
 
     def collect_charge(self, p: Particles, params: SpeciesParams,
                        rho_obj: jax.Array) -> Tuple[Particles, jax.Array]:
