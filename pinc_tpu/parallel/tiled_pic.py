@@ -362,10 +362,14 @@ class ShardedTiledSimulation(TiledSimulation):
             dropped = lax.psum(dropped, ax)
         return TiledState(lpos=lpos, vel=vel, alive=alive), dropped
 
-    def _local_absorb_tiled(self, stl: TiledState, obj_idx):
+    def _local_absorb_tiled(self, stl: TiledState, obj_idx,
+                            collide: bool = True):
         """Per-shard object absorption on the local near-object tile
         subset (particle half of oCollectObjectCharge,
-        src/object.c:460-515); psum'd per-object charge counter."""
+        src/object.c:460-515); psum'd per-object charge counter and
+        localized adhere charge (flat (V,), or a (1,) zero stub when no
+        species adheres).  collide=False is the init-time cull — no
+        collision responses, matching the single-chip _absorb."""
         from jax import lax as _lax
         obj = self.objects
         ln = self.ts_local
@@ -389,19 +393,47 @@ class ShardedTiledSimulation(TiledSimulation):
         lpos, vel, alive = stl.lpos, stl.vel, stl.alive
         ash = alive[0].shape
         psh = lpos[0].shape
+        rho_add = (jnp.zeros((int(np.prod(obj.shape)),), jnp.float32)
+                   if self._has_adhere() else
+                   jnp.zeros((1,), jnp.float32))
+        origins_g = origins.astype(jnp.float32) + off[None, :]
         for s in range(S):
             lp = lpos[s].reshape(D, NTl, B)[:, idxc, :]
             al = alive[s].reshape(NTl, B)[idxc]          # (NTo, B)
-            m = self._collision_type(s)
-            if m != "absorb":
+            m = self._collision_type(s) if collide else "absorb"
+            if m in ("reflect", "backscatter"):
                 vl = vel[s].reshape(D, NTl, B)[:, idxc, :]
                 lp, vl = self._collide_tile_planes(
-                    lp, vl, al, origins + off[None, :], m,
-                    valid=valid[:, None])
+                    lp, vl, al, origins_g, m, valid=valid[:, None])
                 lpos = lpos.at[s].set(lpos[s].reshape(D, NTl, B)
                                       .at[:, widx].set(lp).reshape(psh))
                 vel = vel.at[s].set(vel[s].reshape(D, NTl, B)
                                     .at[:, widx].set(vl).reshape(psh))
+            elif m == "adhere":
+                vl = vel[s].reshape(D, NTl, B)[:, idxc, :]
+                al, rho_add = self._adhere_tiles(
+                    s, lp, vl, al, origins_g, rho_add,
+                    valid=valid[:, None])
+            elif m == "secondary":
+                tgt = obj.see_species
+                vl = vel[s].reshape(D, NTl, B)[:, idxc, :]
+                lp_t, vl_t, al_t, n_emit = self._emit_secondaries_tiles(
+                    s, lp, vl, al,
+                    lpos[tgt].reshape(D, NTl, B)[:, idxc, :],
+                    vel[tgt].reshape(D, NTl, B)[:, idxc, :],
+                    alive[tgt].reshape(NTl, B)[idxc], origins_g,
+                    valid=valid[:, None])
+                lpos = lpos.at[tgt].set(lpos[tgt].reshape(D, NTl, B)
+                                        .at[:, widx].set(lp_t).reshape(psh))
+                vel = vel.at[tgt].set(vel[tgt].reshape(D, NTl, B)
+                                      .at[:, widx].set(vl_t).reshape(psh))
+                alive = alive.at[tgt].set(alive[tgt].reshape(NTl, B)
+                                          .at[widx].set(al_t).reshape(ash))
+                q_t = float(np.asarray(self.params.charge)[tgt])
+                counter = counter - q_t * n_emit
+                if tgt == s:
+                    lp = lpos[s].reshape(D, NTl, B)[:, idxc, :]
+                    al = alive[s].reshape(NTl, B)[idxc]
             g = jnp.mod(lp + origins.T[:, :, None] + off[:, None, None],
                         Lf[:, None, None])
             cell = jnp.clip(jnp.floor(g).astype(jnp.int32), 0,
@@ -418,7 +450,8 @@ class ShardedTiledSimulation(TiledSimulation):
                 alive[s].reshape(NTl, B).at[widx].set(new_al).reshape(ash))
         for ax in self.ctx.axes:
             counter = _lax.psum(counter, ax)
-        return TiledState(lpos=lpos, vel=vel, alive=alive), counter
+            rho_add = _lax.psum(rho_add, ax)
+        return TiledState(lpos=lpos, vel=vel, alive=alive), counter, rho_add
 
     def _tiled_step_obj(self, st: TiledState, rho_obj):
         """Sharded-tiled object step: same sequence as the single-chip
@@ -446,15 +479,17 @@ class ShardedTiledSimulation(TiledSimulation):
                 if not self.spec.periodic:
                     stl = self._local_reflect(stl)
             n_out = self._out_of_margin(stl)
-            stl, counter = self._local_absorb_tiled(stl, obj_idx)
+            stl, counter, rho_add = self._local_absorb_tiled(
+                stl, obj_idx, collide=not cull_only)
             rho = self._local_fields(stl)
             for ax in ctx.axes:
                 n_out = lax.psum(n_out, ax)
-            return stl, rho, n_out, counter
+            return stl, rho, n_out, counter, rho_add
 
-        st, rho, n_out, counter = _shard_map(
+        st, rho, n_out, counter, rho_add = _shard_map(
             dep, ctx.mesh, in_specs=(sspec, ospec),
-            out_specs=(sspec, fspec, P(), P()))(st, self._obj_tiles_sharded)
+            out_specs=(sspec, fspec, P(), P(), P()))(
+                st, self._obj_tiles_sharded)
 
         obj = self.objects
         obj_phi = None
@@ -467,6 +502,8 @@ class ShardedTiledSimulation(TiledSimulation):
                 rho_obj_flat = rho_obj_flat.at[
                     jnp.asarray(obj.surface_idx[a])].add(
                         share.astype(rho_obj.dtype))
+            if self._has_adhere():
+                rho_obj_flat = rho_obj_flat + rho_add
             rho_obj = rho_obj_flat.reshape(obj.shape)
             rho_obj = lax.with_sharding_constraint(rho_obj,
                                                    ctx.sharding(fspec))

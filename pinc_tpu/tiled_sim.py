@@ -553,15 +553,11 @@ class TiledSimulation(Simulation):
     # --------------------------------------------------------------- step
     def _collision_type(self, s: int) -> str:
         ct = self.objects.collision_types
-        m = ct[s] if s < len(ct) else "absorb"
-        if m in ("adhere", "secondary"):
-            # per-bucket free-slot spawning / localized adhesion are not
-            # built on the tiled layout yet — fail loudly rather than
-            # silently absorbing (the flat layout implements both)
-            raise NotImplementedError(
-                f"objects:collisionType {m!r} is only supported on the "
-                f"flat layout; this deck selected the tiled layout")
-        return m
+        return ct[s] if s < len(ct) else "absorb"
+
+    def _has_adhere(self) -> bool:
+        return (self.objects is not None
+                and "adhere" in self.objects.collision_types)
 
     def _collide_tile_planes(self, lp, vl, al, origins, method, valid=None):
         """Collision response on near-object tile planes: lp/vl (D, NTo,
@@ -586,6 +582,101 @@ class TiledSimulation(Simulation):
         delta = jnp.mod(pos2 - pos + 0.5 * Lf, Lf) - 0.5 * Lf
         return lp + jnp.moveaxis(delta, -1, 0), jnp.moveaxis(vel2, -1, 0)
 
+    def _hits_tile_planes(self, lp, vl, al, origins_f, valid=None):
+        """Shared hit classification on near-object tile planes: returns
+        (pos (NTo,B,D) global wrapped, vel, oid, hit, tunneled) where
+        ``tunneled`` marks hits whose segment start was also interior
+        (no crossing to bisect — same failure class as the flat path)."""
+        obj = self.objects
+        Lf = jnp.asarray(self.ts.grid, jnp.float32)
+        Li = jnp.asarray(self.ts.grid, jnp.int32)
+        g = jnp.mod(lp + origins_f.T[:, :, None], Lf[:, None, None])
+        pos = jnp.moveaxis(g, 0, -1)                      # (NTo, B, D)
+        vel = jnp.moveaxis(vl, 0, -1)
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, Li - 1)
+        oid = obj.interior_id[cell[..., 0], cell[..., 1], cell[..., 2]]
+        hit = (al > 0.5) & (oid > 0)
+        if valid is not None:
+            hit = hit & valid
+        tunneled = hit & obj._interior_at(pos - vel)
+        return pos, vel, oid, hit, tunneled
+
+    def _adhere_tiles(self, s, lp, vl, al, origins_f, rho_add, valid=None):
+        """Tiled pAdhere: kill impactors at their trajectory-surface
+        crossing and deposit their charge on the nearest surface node
+        (flat _adhere semantics on the near-object tile planes).
+        Tunneled hits stay alive for the caller's uniform-spread absorb.
+        Returns (alive', rho_add' flat (V,) localized charge)."""
+        from .objects import intersect_segments
+        obj = self.objects
+        pos, vel, _, hit, tunneled = self._hits_tile_planes(
+            lp, vl, al, origins_f, valid)
+        ok = hit & ~tunneled
+        _, x_int, _ = intersect_segments(pos, vel, obj.interior_id,
+                                         obj.normals, self.ts.grid)
+        flat_idx = obj._nearest_surface_flat(x_int)
+        q = float(np.asarray(self.params.charge)[s])
+        rho_add = rho_add.at[flat_idx.ravel()].add(
+            jnp.where(ok, q, 0.0).ravel())
+        return jnp.where(ok, 0.0, al), rho_add
+
+    def _emit_secondaries_tiles(self, s, lp, vl, al, lp_t, vl_t, al_t,
+                                origins_f, valid=None):
+        """Tiled pSecondaryElectron: emit see_yield cosine-distributed
+        secondaries per impact into free (dead) slots of the TARGET
+        species' bucket of the SAME tile — the merge-kernel discipline
+        (append at free slots, overflow dropped).  The impactor is left
+        interior for the caller's absorb.  Emission points sit within
+        one cell of the impactor, so tile-local coords stay inside the
+        wander-margin envelope (the out-of-margin guard catches the
+        rare overshoot and forces an early re-bucket).  Returns
+        (lp_t', vl_t', al_t', per-object emission counts (n_obj+1,))."""
+        from .objects import (intersect_segments, cosine_directions,
+                              _hash_uniform)
+        obj = self.objects
+        D = self.ts.n_dims
+        Lf = jnp.asarray(self.ts.grid, jnp.float32)
+        pos, vel, oid, hit, tunneled = self._hits_tile_planes(
+            lp, vl, al, origins_f, valid)
+        hit = hit & ~tunneled
+        _, x_int, nrm = intersect_segments(pos, vel, obj.interior_id,
+                                           obj.normals, self.ts.grid)
+        x_emit = x_int + 0.01 * nrm
+        x_emit = (jnp.mod(x_emit, Lf) if obj.periodic
+                  else jnp.clip(x_emit, 0.0, Lf - 1e-3))
+        # tile-local emission coords: impactor lp + wrapped displacement
+        delta = jnp.mod(x_emit - pos + 0.5 * Lf, Lf) - 0.5 * Lf
+        lpe = lp + jnp.moveaxis(delta, -1, 0)             # (D, NTo, B)
+        NTo, B = al.shape
+        rows = jnp.arange(NTo)[:, None]
+        order = jnp.argsort(al_t, axis=-1)                # dead-first
+        n_dead = jnp.sum(al_t < 0.5, axis=-1,
+                         keepdims=True).astype(jnp.int32)
+        rank = (jnp.cumsum(hit, axis=-1) - 1).astype(jnp.int32)
+        bits = (jnp.arange(NTo * B, dtype=jnp.uint32).reshape(NTo, B)
+                ^ jax.lax.bitcast_convert_type(vl[0], jnp.uint32))
+        n_emit = jnp.zeros((obj.n_objects + 1,), jnp.float32)
+        for k in range(obj.see_yield):
+            u1 = _hash_uniform(bits + jnp.uint32(2 * k + 1))
+            u2 = _hash_uniform(bits * jnp.uint32(0x9E3779B1)
+                               + jnp.uint32(k))
+            v_e = obj.see_vth * cosine_directions(nrm, u1, u2)
+            grank = rank * obj.see_yield + k
+            ok = hit & (grank >= 0) & (grank < n_dead)
+            slot = jnp.where(
+                ok, jnp.take_along_axis(order, jnp.clip(grank, 0, B - 1),
+                                        axis=-1), B)
+            al_t = al_t.at[rows, slot].set(1.0, mode="drop")
+            for d in range(D):
+                lp_t = lp_t.at[d, rows, slot].set(lpe[d], mode="drop")
+                vl_t = vl_t.at[d, rows, slot].set(
+                    v_e[..., d].astype(vl_t.dtype), mode="drop")
+            n_emit = n_emit + jax.ops.segment_sum(
+                jnp.where(ok, 1.0, 0.0).ravel(),
+                jnp.where(ok, oid, 0).ravel(),
+                num_segments=obj.n_objects + 1)
+        return lp_t, vl_t, al_t, n_emit
+
     def _absorb(self, st: TiledState, collide: bool = True):
         """Object absorption on the static near-object tile subset (the
         particle half of oCollectObjectCharge, src/object.c:460-515),
@@ -593,7 +684,8 @@ class TiledSimulation(Simulation):
         the deck selects them (objects:collisionType).  collide=False is
         the init-time cull (src/main.c:161-166): interior particles are
         removed outright, no response.  Returns (state with absorbed
-        particles dead, per-object absorbed charge counter)."""
+        particles dead, per-object absorbed charge counter, localized
+        adhere charge — flat (V,) or None)."""
         obj = self.objects
         idx = self._obj_tiles
         origins = tl.tile_origins(self.ts)[idx]           # (NTo, D)
@@ -601,16 +693,36 @@ class TiledSimulation(Simulation):
         Lf = jnp.asarray(self.ts.grid, jnp.float32)
         Li = jnp.asarray(self.ts.grid, jnp.int32)
         counter = jnp.zeros((obj.n_objects + 1,), jnp.float32)
+        rho_add = (jnp.zeros((int(np.prod(obj.shape)),), jnp.float32)
+                   if collide and self._has_adhere() else None)
         lpos, vel, alive = st.lpos, st.vel, st.alive
         for s in range(st.lpos.shape[0]):
             lp = lpos[s][:, idx, :]                       # (D, NTo, B)
             al = alive[s][idx]                            # (NTo, B) f32
             m = self._collision_type(s) if collide else "absorb"
-            if m != "absorb":
+            if m in ("reflect", "backscatter"):
                 lp, vl = self._collide_tile_planes(
                     lp, vel[s][:, idx, :], al, origins_f, m)
                 lpos = lpos.at[s].set(lpos[s].at[:, idx].set(lp))
                 vel = vel.at[s].set(vel[s].at[:, idx].set(vl))
+            elif m == "adhere":
+                al, rho_add = self._adhere_tiles(
+                    s, lp, vel[s][:, idx, :], al, origins_f, rho_add)
+            elif m == "secondary":
+                tgt = obj.see_species
+                lp_t, vl_t, al_t, n_emit = self._emit_secondaries_tiles(
+                    s, lp, vel[s][:, idx, :], al,
+                    lpos[tgt][:, idx, :], vel[tgt][:, idx, :],
+                    alive[tgt][idx], origins_f)
+                lpos = lpos.at[tgt].set(lpos[tgt].at[:, idx].set(lp_t))
+                vel = vel.at[tgt].set(vel[tgt].at[:, idx].set(vl_t))
+                alive = alive.at[tgt, idx].set(al_t)
+                # emitted charge debited from the impacted surface
+                # (uniform spread, mirroring the flat path)
+                q_t = float(np.asarray(self.params.charge)[tgt])
+                counter = counter - q_t * n_emit
+                if tgt == s:        # emission altered this species' planes
+                    lp, al = lpos[s][:, idx, :], alive[s][idx]
             g = jnp.mod(lp + origins.T[:, :, None], Lf[:, None, None])
             cell = jnp.clip(jnp.floor(g).astype(jnp.int32), 0,
                             Li[:, None, None] - 1)
@@ -623,7 +735,8 @@ class TiledSimulation(Simulation):
                 num_segments=obj.n_objects + 1)
             alive = alive.at[s, idx].set(
                 jnp.where(absorbed, 0.0, al))
-        return TiledState(lpos=lpos, vel=vel, alive=alive), counter
+        return (TiledState(lpos=lpos, vel=vel, alive=alive), counter,
+                rho_add)
 
     def _spread_obj_charge(self, rho_obj, counter):
         """Spread per-object absorbed charge over surface nodes (the grid
@@ -644,8 +757,10 @@ class TiledSimulation(Simulation):
         if not self.spec.periodic:
             st = self._reflect_walls(st)
         n_out = self._out_of_margin(st)
-        st, counter = self._absorb(st)
+        st, counter, rho_add = self._absorb(st)
         rho_obj = self._spread_obj_charge(rho_obj, counter)
+        if rho_add is not None:
+            rho_obj = rho_obj + rho_add.reshape(self.objects.shape)
         rho = self._deposit_rho(st) + rho_obj
         phi = self.solver(rho)
         rho, obj_phi = self.objects.apply_capacitance(rho, phi)
@@ -664,7 +779,7 @@ class TiledSimulation(Simulation):
     def _tiled_half_kick_obj(self, st: TiledState):
         """Initialization with objects: cull interior particles (charge
         discarded, src/main.c:161-166), then the ordinary half kick."""
-        st, _ = self._absorb(st, collide=False)
+        st, _, _ = self._absorb(st, collide=False)
         st, rho, phi, E, diag = self._tiled_half_kick(st)
         return st, rho, phi, E, diag
 

@@ -328,3 +328,164 @@ def test_sphere_secondary_deck_runs(tmp_path):
     sim = Simulation(PincConfig.from_string(deck), seed=4)
     hist = sim.run(progress_every=0)
     assert np.isfinite(hist["kinetic"]).all()
+
+
+# ---------------------------------------------------------------------------
+# adhere + secondary on the TILED production layout (VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+
+_TILES = "[tiles]\ntileSize = 4\nmargin = 2\nrebucketEvery = 4\n"
+
+
+def _surviving_charge(sim, p, q):
+    """Total physical charge of particles that survive the init cull
+    (floor node not interior)."""
+    oid = np.asarray(sim.objects.interior_id)
+    cell = np.asarray(p.cell)
+    alive = np.asarray(p.alive)
+    ids = oid[cell[..., 0], cell[..., 1], cell[..., 2]]
+    keep = alive & (ids == 0)
+    return float((keep.sum(axis=1) * q).sum())
+
+
+def test_sphere_adhere_deck_tiled(tmp_path):
+    """Tiled adhere: impactors die at their crossings, charge lands only
+    on surface nodes of rho_obj, nothing penetrates."""
+    from pinc_tpu.tiled_sim import TiledSimulation
+    cfg = _sphere_cfg(tmp_path, "adhere", steps=6, extra=_TILES)
+    cfg.set_str("methods:layout", "tiled")
+    sim = TiledSimulation(cfg, seed=4)
+    sim.run(progress_every=0)
+    _assert_no_penetration(sim)
+    r = np.asarray(sim.last_rho_obj)
+    sid = np.asarray(sim.objects.surface_id)
+    assert (r[sid == 0] == 0).all()
+    assert (r != 0).any()                     # something actually adhered
+
+
+def test_sphere_secondary_deck_tiled(tmp_path):
+    """Tiled secondary emission: ion impacts spawn electrons into free
+    bucket slots of the same tile; total charge (particles + rho_obj)
+    is conserved and no alive particle sits inside the object."""
+    from pinc_tpu.tiled_sim import TiledSimulation
+    L = 16
+    dom = make_sphere((L,) * 3, (8, 8, 8), 2.5)
+    path = str(tmp_path / "sphere.grid.h5")
+    save_domain(path, dom)
+    deck = SPHERE_DECK.format(path=path, ctype="absorb", steps=6,
+                              extra=_TILES)
+    deck = deck.replace("collisionType = absorb,absorb",
+                        "collisionType = absorb,secondary\n"
+                        "seeYield = 1\nseeVth = 0.1\nseeSpecies = 0")
+    cfg = PincConfig.from_string(deck)
+    cfg.set_str("methods:layout", "tiled")
+    sim = TiledSimulation(cfg, seed=4)
+    # total charge that SURVIVES the init cull (interior-born particles
+    # are discarded without booking, src/main.c:161-166), in physical
+    # (multiplicity-scaled) units — the units rho_obj is booked in
+    q = np.asarray(sim.params.charge, np.float64)
+    tot0 = _surviving_charge(sim, sim.to_particles(sim.state), q)
+    hist = sim.run(progress_every=0)
+    assert np.isfinite(hist["kinetic"]).all()
+    _assert_no_penetration(sim)
+    p1 = sim.particles
+    tot1 = (float((np.asarray(p1.alive).sum(axis=1) * q).sum())
+            + float(np.asarray(sim.last_rho_obj).sum()))
+    assert tot1 == pytest.approx(tot0, abs=0.05 * np.abs(q).max())
+
+
+def test_tiled_secondary_matches_flat_unit():
+    """Unit-level: one ion impactor in a tiled state emits seeYield
+    secondaries with the flat path's speed/direction guarantees (just
+    outside the surface, moving away, |v| = seeVth)."""
+    import jax
+    from pinc_tpu.config import PincConfig as _PC
+    from pinc_tpu.tiled_sim import TiledSimulation
+    L = 16
+    dom = make_box((L,) * 3, (0, 0, 10), (L - 1, L - 1, L - 1))
+    path = "/tmp/_tsec_box.grid.h5"
+    save_domain(path, dom)
+    deck = SPHERE_DECK.format(path=path, ctype="absorb", steps=2,
+                              extra=_TILES)
+    deck = deck.replace("collisionType = absorb,absorb",
+                        "collisionType = absorb,secondary\n"
+                        "seeYield = 2\nseeVth = 0.3\nseeSpecies = 0")
+    cfg = _PC.from_string(deck)
+    cfg.set_str("methods:layout", "tiled")
+    sim = TiledSimulation(cfg, seed=4)
+    ts = sim.ts
+    # hand-build a state: everything dead except one ion inside the wall
+    S = 2
+    lpos = jnp.zeros((S, 3, ts.NT, ts.B), jnp.float32)
+    vel = jnp.zeros((S, 3, ts.NT, ts.B), jnp.float32)
+    alive = jnp.zeros((S, ts.NT, ts.B), jnp.float32)
+    # tile containing global (5.5, 5.5, 10.3): origin (4, 4, 8) at T=4
+    from pinc_tpu.ops.tiled import tile_origins
+    origins = np.asarray(tile_origins(ts))
+    tidx = int(np.argwhere((origins == [4, 4, 8]).all(axis=1))[0, 0])
+    lpos = lpos.at[1, :, tidx, 0].set(jnp.asarray([1.5, 1.5, 2.3]))
+    vel = vel.at[1, :, tidx, 0].set(jnp.asarray([0.0, 0.0, 0.8]))
+    alive = alive.at[1, tidx, 0].set(1.0)
+    from pinc_tpu.tiled_sim import TiledState
+    st = TiledState(lpos=lpos, vel=vel, alive=alive)
+    st2, counter, rho_add = jax.jit(sim._absorb)(st)
+    assert rho_add is None                    # no adhere species
+    # impactor absorbed, 2 secondaries alive in species 0
+    assert int(np.asarray(st2.alive[1]).sum()) == 0
+    sec = np.asarray(st2.alive[0]) > 0.5
+    assert int(sec.sum()) == 2
+    vz = np.asarray(st2.vel[0][2])[sec]
+    assert (vz < 0).all()                     # moving away from the wall
+    sp = np.sqrt(sum(np.asarray(st2.vel[0][d])[sec] ** 2 for d in range(3)))
+    assert sp == pytest.approx(0.3, rel=1e-5)
+    # debit (physical units): counter[1] = absorbed ion (+q_i) + the
+    # 2 emitted electrons' debit (+|q_e| each)
+    qp = np.asarray(sim.params.charge, np.float64)
+    assert float(counter[1]) == pytest.approx(qp[1] + 2 * abs(qp[0]),
+                                              rel=1e-5)
+
+
+def test_sphere_secondary_sharded_tiled(tmp_path, cpu_devices):
+    """Sharded-tiled secondary: emission composes with the device mesh
+    and conserves total charge."""
+    from pinc_tpu.parallel.tiled_pic import ShardedTiledSimulation
+    L = 16
+    dom = make_sphere((L,) * 3, (8, 8, 8), 2.5)
+    path = str(tmp_path / "sphere.grid.h5")
+    save_domain(path, dom)
+    deck = SPHERE_DECK.format(path=path, ctype="absorb", steps=4,
+                              extra=_TILES)
+    deck = deck.replace("collisionType = absorb,absorb",
+                        "collisionType = absorb,secondary\n"
+                        "seeYield = 1\nseeVth = 0.1\nseeSpecies = 0")
+    cfg = PincConfig.from_string(deck)
+    cfg.set_str("methods:layout", "tiled")
+    cfg.set_str("grid:nsubdomains", "2,1,1")
+    cfg.set_str("grid:truesize", "8,16,16")
+    sim = ShardedTiledSimulation(cfg, seed=4)
+    q = np.asarray(sim.params.charge, np.float64)
+    tot0 = _surviving_charge(sim, sim.to_particles(sim.state), q)
+    hist = sim.run(progress_every=0)
+    assert np.isfinite(hist["kinetic"]).all()
+    _assert_no_penetration(sim)
+    p1 = sim.particles
+    tot1 = (float((np.asarray(p1.alive).sum(axis=1) * q).sum())
+            + float(np.asarray(sim.last_rho_obj).sum()))
+    assert tot1 == pytest.approx(tot0, abs=0.05 * np.abs(q).max())
+
+
+def test_sphere_adhere_sharded_tiled(tmp_path, cpu_devices):
+    """Sharded-tiled adhere: localized surface deposits psum across the
+    mesh; charge lands only on surface nodes."""
+    from pinc_tpu.parallel.tiled_pic import ShardedTiledSimulation
+    cfg = _sphere_cfg(tmp_path, "adhere", steps=4, extra=_TILES)
+    cfg.set_str("methods:layout", "tiled")
+    cfg.set_str("grid:nsubdomains", "2,1,1")
+    cfg.set_str("grid:truesize", "8,16,16")
+    sim = ShardedTiledSimulation(cfg, seed=4)
+    sim.run(progress_every=0)
+    _assert_no_penetration(sim)
+    r = np.asarray(sim.last_rho_obj)
+    sid = np.asarray(sim.objects.surface_id)
+    assert (r[sid == 0] == 0).all()
+    assert (r != 0).any()
