@@ -42,19 +42,30 @@ def checkpoint_path(cfg: PincConfig) -> Path:
 
 def save(cfg: PincConfig, step: int, particles: Particles,
          rho_obj: Optional[np.ndarray] = None) -> Path:
-    import jax.numpy as jnp  # noqa: F401
+    from .utils.multihost import fetch_global, is_primary
 
     path = checkpoint_path(cfg)
+    # multi-host: state is all-gathered and process 0 writes the single
+    # file (the reference's collective MPI-IO, src/population.c:538-651,
+    # as fetch-to-primary; every process returns the same path and a
+    # shared filesystem is assumed, as MPI-IO assumes)
+    cell = fetch_global(particles.cell)
+    frac = fetch_global(particles.frac)
+    vel = fetch_global(particles.vel)
+    alive = fetch_global(particles.alive)
+    rho_np = None if rho_obj is None else fetch_global(rho_obj)
+    if not is_primary():
+        return path
     path.parent.mkdir(parents=True, exist_ok=True)
     with h5py.File(path, "w") as f:
         f.attrs["step"] = int(step)
         f.attrs["format_version"] = 1
-        f.create_dataset("cell", data=np.asarray(particles.cell))
-        f.create_dataset("frac", data=np.asarray(particles.frac))
-        f.create_dataset("vel", data=np.asarray(particles.vel))
-        f.create_dataset("alive", data=np.asarray(particles.alive))
-        if rho_obj is not None:
-            f.create_dataset("rho_obj", data=np.asarray(rho_obj))
+        f.create_dataset("cell", data=cell)
+        f.create_dataset("frac", data=frac)
+        f.create_dataset("vel", data=vel)
+        f.create_dataset("alive", data=alive)
+        if rho_np is not None:
+            f.create_dataset("rho_obj", data=rho_np)
     msg(STATUS, "checkpoint written: %s (step %d)", path, step)
     return path
 
@@ -98,17 +109,25 @@ def save_tiled(cfg: PincConfig, step: int, state,
     the original bit-for-bit — converting through the flat Particles
     layout would re-bucket on restore and reorder the per-tile
     summation, perturbing the deposit in the last float bit."""
+    from .utils.multihost import fetch_global, is_primary
+
     path = checkpoint_path(cfg)
+    lpos = fetch_global(state.lpos)
+    vel = fetch_global(state.vel)
+    alive = fetch_global(state.alive)
+    rho_np = None if rho_obj is None else fetch_global(rho_obj)
+    if not is_primary():
+        return path
     path.parent.mkdir(parents=True, exist_ok=True)
     with h5py.File(path, "w") as f:
         f.attrs["step"] = int(step)
         f.attrs["format_version"] = 1
         f.attrs["layout"] = "tiled"
-        f.create_dataset("lpos", data=np.asarray(state.lpos))
-        f.create_dataset("vel", data=np.asarray(state.vel))
-        f.create_dataset("alive", data=np.asarray(state.alive))
+        f.create_dataset("lpos", data=lpos)
+        f.create_dataset("vel", data=vel)
+        f.create_dataset("alive", data=alive)
         if rho_obj is not None:
-            f.create_dataset("rho_obj", data=np.asarray(rho_obj))
+            f.create_dataset("rho_obj", data=rho_np)
     msg(STATUS, "checkpoint written: %s (step %d, tiled)", path, step)
     return path
 

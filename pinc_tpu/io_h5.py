@@ -146,11 +146,19 @@ class OutputWriter:
     file and history.xy.h5 (the file set opened at src/main.c:121-131)."""
 
     def __init__(self, cfg: PincConfig, sim) -> None:
+        from .utils import multihost as mh
         self.cfg = cfg
         self.n_dims = sim.spec.n_dims
         self.every = cfg.get_int("files:writefrequency", 1)
         self.write_fields = cfg.get_bool("files:writefields", True)
         self.write_pop = cfg.get_bool("files:writepop", True)
+        # multi-host discipline (the reference's collective MPI-IO,
+        # src/grid.c:1161-1180, rebuilt as process-0 single-file writes
+        # for replicated/small data + per-host shard files for particles)
+        self.primary = mh.is_primary()
+        self.pidx = mh.process_index()
+        self.nproc = mh.process_count()
+        self._fetch_global = mh.fetch_global
         u = sim.units
         self.units = u
 
@@ -170,51 +178,76 @@ class OutputWriter:
                     "unavailable (%s); writing synchronously", e)
 
         self.grids = {}
-        if self.write_fields and self.spool is None:
+        if self.write_fields and self.spool is None and self.primary:
             for name in ("rho", "phi", "E"):
                 self.grids[name] = GridFile(cfg, name, self.n_dims,
                                             axis_denorm=u.length, denorm=1.0)
         self.pop: Optional[PopFile] = None
         if self.write_pop and self.spool is None:
             ns = sim.params.charge.shape[0]
-            self.pop = PopFile(cfg, "pop", ns, pos_denorm=u.length,
+            # per-host shard file on pods: pop.p<idx>.pop.h5; the single-
+            # process name matches the reference exactly
+            pname = "pop" if self.nproc == 1 else f"pop.p{self.pidx}"
+            self.pop = PopFile(cfg, pname, ns, pos_denorm=u.length,
                                vel_denorm=u.velocity)
-        self.history = XYFile(cfg, "history")
+        self.history = XYFile(cfg, "history") if self.primary else None
         ns = sim.params.charge.shape[0]
         self.n_species = ns
-        for kind in ("potential", "kinetic"):
-            self.history.create(f"/energy/{kind}/total")
-            for s in range(ns):
-                self.history.create(f"/energy/{kind}/specie {s}")
+        if self.history is not None:
+            for kind in ("potential", "kinetic"):
+                self.history.create(f"/energy/{kind}/total")
+                for s in range(ns):
+                    self.history.create(f"/energy/{kind}/specie {s}")
+
+    def _owned_rows(self, arr, axis: int = 1):
+        """This process's OWNED slice of a device array along ``axis``
+        (replica 0 of each shard — no row is written twice across the
+        pod).  Single-process: the whole array.  Returns None when this
+        process owns nothing."""
+        if self.nproc == 1 or isinstance(arr, np.ndarray):
+            return np.asarray(arr)
+        parts = [(s.index[axis].start or 0, np.asarray(s.data))
+                 for s in arr.addressable_shards if s.replica_id == 0]
+        if not parts:
+            return None
+        parts.sort(key=lambda t: t[0])
+        return np.concatenate([p for _, p in parts], axis=axis)
 
     def write_step(self, n: int, out) -> None:
         if self.every and n % self.every != 0:
             return
         if self.spool is not None:
-            if self.write_fields:
-                self.spool.write("rho", n, np.asarray(out.rho))
-                self.spool.write("phi", n, np.asarray(out.phi))
-                self.spool.write("E", n, np.asarray(out.E))
+            if self.write_fields and self.primary:
+                self.spool.write("rho", n, self._fetch_global(out.rho))
+                self.spool.write("phi", n, self._fetch_global(out.phi))
+                self.spool.write("E", n, self._fetch_global(out.E))
             if self.write_pop:
                 p = out.particles
-                pos = np.asarray(p.pos())
-                vel = np.asarray(p.vel)
-                alive = np.asarray(p.alive)
-                for s in range(pos.shape[0]):
-                    m = alive[s]
-                    self.spool.write(f"pop/pos/{s}", n, pos[s][m])
-                    self.spool.write(f"pop/vel/{s}", n - 0.5, vel[s][m])
+                pos = self._owned_rows(p.pos())
+                vel = self._owned_rows(p.vel)
+                alive = self._owned_rows(p.alive)
+                if pos is not None:
+                    for s in range(pos.shape[0]):
+                        m = alive[s]
+                        self.spool.write(f"pop/pos/{s}", n, pos[s][m])
+                        self.spool.write(f"pop/vel/{s}", n - 0.5,
+                                         vel[s][m])
             return
-        if self.write_fields:
-            self.grids["rho"].write(n, np.asarray(out.rho))
-            self.grids["phi"].write(n, np.asarray(out.phi))
-            self.grids["E"].write(n, np.asarray(out.E))
+        if self.write_fields and self.primary:
+            self.grids["rho"].write(n, self._fetch_global(out.rho))
+            self.grids["phi"].write(n, self._fetch_global(out.phi))
+            self.grids["E"].write(n, self._fetch_global(out.E))
         if self.pop is not None:
             p = out.particles
-            self.pop.write(n, n - 0.5, np.asarray(p.pos()),
-                           np.asarray(p.vel), np.asarray(p.alive))
+            pos = self._owned_rows(p.pos())
+            if pos is not None:
+                self.pop.write(n, n - 0.5, pos,
+                               self._owned_rows(p.vel),
+                               self._owned_rows(p.alive))
 
     def write_energy(self, n: int, ke: np.ndarray, pe: float) -> None:
+        if self.history is None:
+            return
         self.history.append("/energy/kinetic/total", n, float(ke.sum()))
         self.history.append("/energy/potential/total", n, float(pe))
         for s in range(self.n_species):
@@ -228,7 +261,8 @@ class OutputWriter:
             g.close()
         if self.pop is not None:
             self.pop.close()
-        self.history.close()
+        if self.history is not None:
+            self.history.close()
         if self.spool is not None:
             from .spool import convert
             n = self.spool.close()

@@ -422,7 +422,8 @@ def _mg_mode_factory(cfg: PincConfig):
             float(resid), err)
         t.msg()
 
-        if "files:output" in cfg:
+        from .utils.multihost import is_primary
+        if "files:output" in cfg and is_primary():
             timer_xy = XYFile(cfg, "timer")
             timer_xy.create("time")
             timer_xy.create("cycles")

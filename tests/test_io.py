@@ -101,3 +101,68 @@ def test_xy_append(tmp_path):
     assert ds.shape == (5, 2)
     assert np.allclose(ds[:, 1], [0, 2, 4, 6, 8])
     xy.close()
+
+
+# ---------------------------------------------------------------------------
+# multi-host (pod) IO discipline: process-0 single-file writes + per-host
+# particle shard files (the reference's collective MPI-IO equivalent,
+# src/grid.c:1161-1180, src/population.c:538-651) — VERDICT r3 item 7
+# ---------------------------------------------------------------------------
+
+def _mock_process(monkeypatch, idx, count):
+    import jax
+    monkeypatch.setattr(jax, "process_index", lambda: idx)
+    monkeypatch.setattr(jax, "process_count", lambda: count)
+
+
+def test_multihost_secondary_process_writes_nothing_global(tmp_path,
+                                                           monkeypatch):
+    """On a non-primary pod process the writer opens NO grid/history
+    files and creates only its per-host pop shard file."""
+    cfg = PincConfig.from_string(DECK.format(out=f"{tmp_path}/d/"))
+    sim = Simulation(cfg, seed=1)
+    _mock_process(monkeypatch, 2, 4)
+    w = OutputWriter(cfg, sim)
+    assert w.history is None and w.grids == {}
+    w.write_energy(0, np.zeros(2), 0.0)       # must no-op, not crash
+    w.close()
+    names = sorted(p.name for p in (tmp_path / "d").iterdir())
+    assert names == ["pop.p2.pop.h5"]
+
+
+def test_multihost_primary_owns_single_files(tmp_path, monkeypatch):
+    cfg = PincConfig.from_string(DECK.format(out=f"{tmp_path}/d/"))
+    sim = Simulation(cfg, seed=1)
+    _mock_process(monkeypatch, 0, 4)
+    w = OutputWriter(cfg, sim)
+    assert w.history is not None and set(w.grids) == {"rho", "phi", "E"}
+    w.write_energy(0, np.zeros(2), 0.0)
+    w.close()
+    names = sorted(p.name for p in (tmp_path / "d").iterdir())
+    assert "history.xy.h5" in names and "pop.p0.pop.h5" in names
+
+
+def test_multihost_checkpoint_secondary_skips_write(tmp_path, monkeypatch):
+    from pinc_tpu import checkpoint as ckpt
+    cfg = PincConfig.from_string(DECK.format(out=f"{tmp_path}/d/"))
+    sim = Simulation(cfg, seed=1)
+    _mock_process(monkeypatch, 1, 4)
+    # fetch_global would allgather on a real pod; single-process arrays
+    # short-circuit through np.asarray via the mock-safe ndarray branch
+    import pinc_tpu.utils.multihost as mh
+    monkeypatch.setattr(mh, "fetch_global", lambda a: np.asarray(a))
+    p = ckpt.save(cfg, 3, sim.particles)
+    assert not p.exists()                      # secondary wrote nothing
+    _mock_process(monkeypatch, 0, 4)
+    p = ckpt.save(cfg, 3, sim.particles)
+    assert p.exists()
+
+
+def test_owned_rows_single_process_passthrough(tmp_path):
+    cfg = PincConfig.from_string(DECK.format(out=f"{tmp_path}/d/"))
+    sim = Simulation(cfg, seed=1)
+    w = OutputWriter(cfg, sim)
+    arr = np.arange(12).reshape(2, 6)
+    out = w._owned_rows(arr)
+    assert (out == arr).all()
+    w.close()
