@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pinc_tpu.config import PincConfig
-from pinc_tpu.tiled_sim import TiledSimulation
+from pinc_tpu.tiled_sim import TiledSimulation, _jit
 from pinc_tpu.ops import pallas_exchange as pex
 from pinc_tpu.utils.jaxconfig import enable_compilation_cache
 
@@ -86,7 +86,7 @@ def chained(impl, fused):
                 impl=impl)
             return (p2, a2), d
         return jax.lax.scan(body, (p, a), None, length=REPS)[1]
-    f = jax.jit(chain)
+    f = _jit(chain)
     t0 = time.monotonic()
     d = f(planes, al); jax.block_until_ready(d)
     tc = time.monotonic() - t0
@@ -105,10 +105,10 @@ for impl, fused in variants:
         f"dropped={dr}  (compile {tc:.1f}s)")
 
 # single-shot equivalence: alive counts + velocity multisets must agree
-o1 = jax.jit(lambda p, a: pex.rebucket_exchange_planes(
+o1 = _jit(lambda p, a: pex.rebucket_exchange_planes(
     p, a, ts.ntiles, ts.T, K=K, rows=True, fused=True, impl="onehot"))(
         planes, al)
-o2 = jax.jit(lambda p, a: pex.rebucket_exchange_planes(
+o2 = _jit(lambda p, a: pex.rebucket_exchange_planes(
     p, a, ts.ntiles, ts.T, K=K, rows=True, fused=True, impl="gather"))(
         planes, al)
 a1, a2 = (np.asarray(o[1]) > 0.5 for o in (o1, o2))

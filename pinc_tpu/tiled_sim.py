@@ -249,11 +249,14 @@ class TiledSimulation(Simulation):
         # only when every row can absorb a worst-case arrival burst with
         # zero kills: mean free slots per row >= both face caps.  Tight
         # decks (high occupancy / large flux) keep the per-tile kernels.
+        # The v6 GATHER row path (B % 1024 == 0: no one-hot builds, no
+        # MXU payload dots) relaxes the headroom factor to 1x: its merge
+        # fills free slots row-wide rather than per-face, a coherent
+        # 2-cell burst measured drop-free at exactly 1x headroom
+        # (experiments/r4_exchange_ab.py), and the drop counter + retune
+        # remain the backstop.
         from .ops import pallas_exchange as _pex
-        _ks = _pex.default_row_cap(self._exchange_cap, B)
-        self._exchange_rows = bool(
-            cfg.get_bool("tiles:exchangerows",
-                         B % 8 == 0 and (B - ppt) / 8.0 >= 2 * _ks))
+        self._exchange_rows = self._rows_default(B, ppt)
 
         if self.objects is not None:
             # static subset of tiles that can contain absorbable particles:
@@ -393,10 +396,7 @@ class TiledSimulation(Simulation):
         if changed and "tiles:exchangerows" not in self.cfg:
             # re-evaluate the per-row gate under the new cap: every row
             # must absorb a worst-case burst with zero kills
-            from .ops import pallas_exchange as _pex
-            _ks = _pex.default_row_cap(self._exchange_cap, self.ts.B)
-            rows = (self.ts.B % 8 == 0
-                    and (self.ts.B - ppt) / 8.0 >= 2 * _ks)
+            rows = self._rows_default(self.ts.B, ppt)
             if rows != self._exchange_rows:
                 msg(STATUS, "retune: per-row exchange %s",
                     "enabled" if rows else "disabled (cap outgrew rows)")
@@ -487,6 +487,23 @@ class TiledSimulation(Simulation):
             del lv
         return TiledState(lpos=lpos, vel=vel, alive=alive)
 
+    def _rows_default(self, B: int, ppt: float) -> bool:
+        """Default for tiles:exchangeRows: row kernels need every row to
+        absorb a worst-case arrival burst — free slots per row >= 2x the
+        face cap for the one-hot kernels, 1x for the gather kernels
+        (which also need B % 1024 == 0)."""
+        if "tiles:exchangerows" in self.cfg:
+            return self.cfg.get_bool("tiles:exchangerows")
+        if B % 8:
+            return False
+        from .ops import pallas_exchange as _pex
+        from .ops import pallas_gather_exchange as _pgx
+        _ks = _pex.default_row_cap(self._exchange_cap, B)
+        free_per_row = (B - ppt) / 8.0
+        if _pgx.supported(B) and self.ts.n_dims == 3:
+            return free_per_row >= _pgx.round_cap(_ks)
+        return free_per_row >= 2 * _ks
+
     def _rebucket_one(self, lpos_s, vel_s, alive_s):
         """Re-bucket a single species: (D,NT,B)x2 + (NT,B) -> same +
         dropped count."""
@@ -502,7 +519,8 @@ class TiledSimulation(Simulation):
                 self.ts.ntiles, self.ts.T, K=self._exchange_cap,
                 interpret=jax.devices()[0].platform == "cpu",
                 rows=self._exchange_rows,
-                fused=self.cfg.get_bool("tiles:exchangefused", True))
+                fused=self.cfg.get_bool("tiles:exchangefused", True),
+                impl=self.cfg.get_str("tiles:exchangeimpl", "auto"))
             return (jnp.stack(planes[:D]), jnp.stack(planes[D:]),
                     al > 0.5, d_n.astype(jnp.int32))
         gpos = tl.global_positions(
