@@ -218,12 +218,26 @@ def _extract_g(alive, planes, classify, n_cls, Ks, T, interpret):
 # generic gather merge: place compacted arrival blocks into free slots.
 # blocks: static ((offset, width), ...) runs inside the arrival buffer,
 # each individually compacted (valid prefix, flag row 6 > 0.5).
+#
+# SPILL PASSES: free slots and arrivals both live on sublane rows, and a
+# single row's arrivals can exceed its free slots even when the tile as
+# a whole has room (plasma density compressions routinely push one row
+# past the mean — measured 15.7k drops over a 176-step headline window
+# when the merge was row-bound).  Pass 0 places each row's own arrivals;
+# passes p = 1..7 place row (r - p) % 8's LEFTOVER arrivals into row r's
+# remaining free slots (the arrival block is sublane-rolled by p, a
+# bit-exact vreg shuffle — experiments/r4_roll_probe.py).  Each spill
+# pass is runtime-guarded on leftovers actually existing, so the common
+# (balanced) case pays one scalar check per pass.  Net effect: the free
+# pool is TILE-wide, matching the per-tile one-hot kernels' drop
+# behavior while keeping the cheap gather transport.
 # ---------------------------------------------------------------------------
 
 def _merge_g_kernel(alive_ref, inc_ref, *refs, blocks, KT, L):
     plane_refs = refs[:6]
     out_refs = refs[6:12]
     alive_out_ref = refs[12]
+    consumed_ref = refs[13]                             # scratch (8, 128)
     NC = L // 128
     SV = KT // 128
 
@@ -233,50 +247,79 @@ def _merge_g_kernel(alive_ref, inc_ref, *refs, blocks, KT, L):
     n_arr = sum(n_bs)                                   # (8, 1)
     u = _tri_u128()
 
-    def chunk_body(c, run):
-        off = pl.multiple_of(c * 128, 128)
-        sl = (0, slice(None), pl.ds(off, 128))
-        al_c = alive_ref[sl]
-        free_c = (al_c <= 0.5).astype(jnp.float32)
-        cum_c = jax.lax.dot_general(
-            free_c, u, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        frank_c = run + cum_c - 1.0                     # per-lane rank
-        take_any = (free_c > 0.5) & (frank_c < n_arr)
+    def run_pass(p, first):
+        """Place source row (r - p) % 8's unconsumed arrivals into dest
+        row r's free slots, lowest-rank first.  first=True additionally
+        copies stay-behind payloads/alive through to the outputs."""
+        roll = (lambda x: jnp.roll(x, p, axis=0)) if p else (lambda x: x)
+        nb_p = [roll(nb) for nb in n_bs]
+        na_p = roll(n_arr)
+        co_p = roll(consumed_ref[...][:, :1])
+        n_avail = na_p - co_p                           # per DEST row
 
-        @pl.when(jnp.sum(jnp.where(take_any, 1.0, 0.0)) > 0.5)
-        def _():
-            # frank -> arrival column (piecewise over static blocks)
-            col = jnp.full((8, 128), -1.0, jnp.float32)
-            cum_prev = jnp.zeros((8, 1), jnp.float32)
-            for (boff, _w), n_b in zip(blocks, n_bs):
-                inb = (frank_c >= cum_prev) & (frank_c < cum_prev + n_b)
-                col = jnp.where(inb, float(boff) + frank_c - cum_prev,
-                                col)
-                cum_prev = cum_prev + n_b
-            coli = col.astype(jnp.int32)
-            hit_any = take_any & (col >= 0.0)
-            for p in range(6):
-                out_c = plane_refs[p][sl]
-                for v in range(SV):
-                    idxv = coli - v * 128
-                    hitv = hit_any & (idxv >= 0) & (idxv < 128)
-                    src = inc_ref[0, p, :, pl.ds(v * 128, 128)]
-                    out_c = jnp.where(hitv,
-                                      _take(src, jnp.clip(idxv, 0, 127)),
-                                      out_c)
-                out_refs[p][sl] = out_c
-            alive_out_ref[sl] = jnp.where(hit_any, 1.0, al_c)
+        def chunk_body(c, carry):
+            run, takes = carry
+            off = pl.multiple_of(c * 128, 128)
+            sl = (0, slice(None), pl.ds(off, 128))
+            al_c = alive_ref[sl] if first else alive_out_ref[sl]
+            free_c = (al_c <= 0.5).astype(jnp.float32)
+            cum_c = jax.lax.dot_general(
+                free_c, u, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            frank_c = run + cum_c - 1.0                 # per-lane rank
+            take_any = (free_c > 0.5) & (frank_c < n_avail)
+            got = jnp.sum(jnp.where(take_any, 1.0, 0.0), axis=1,
+                          keepdims=True)
 
-        @pl.when(jnp.sum(jnp.where(take_any, 1.0, 0.0)) <= 0.5)
-        def _():
-            for p in range(6):
-                out_refs[p][sl] = plane_refs[p][sl]
-            alive_out_ref[sl] = al_c
+            @pl.when(jnp.sum(got) > 0.5)
+            def _():
+                # source-row arrival rank -> arrival column (piecewise
+                # over the static blocks, counts from the source row)
+                arank = co_p + frank_c
+                col = jnp.full((8, 128), -1.0, jnp.float32)
+                cum_prev = jnp.zeros((8, 1), jnp.float32)
+                for (boff, _w), n_b in zip(blocks, nb_p):
+                    inb = (arank >= cum_prev) & (arank < cum_prev + n_b)
+                    col = jnp.where(inb,
+                                    float(boff) + arank - cum_prev, col)
+                    cum_prev = cum_prev + n_b
+                coli = col.astype(jnp.int32)
+                hit_any = take_any & (col >= 0.0)
+                for pp in range(6):
+                    out_c = plane_refs[pp][sl] if first else out_refs[pp][sl]
+                    for v in range(SV):
+                        idxv = coli - v * 128
+                        hitv = hit_any & (idxv >= 0) & (idxv < 128)
+                        src = roll(inc_ref[0, pp, :, pl.ds(v * 128, 128)])
+                        out_c = jnp.where(
+                            hitv, _take(src, jnp.clip(idxv, 0, 127)),
+                            out_c)
+                    out_refs[pp][sl] = out_c
+                alive_out_ref[sl] = jnp.where(hit_any, 1.0, al_c)
 
-        return run + cum_c[:, 127:128]
+            if first:
+                @pl.when(jnp.sum(got) <= 0.5)
+                def _():
+                    for pp in range(6):
+                        out_refs[pp][sl] = plane_refs[pp][sl]
+                    alive_out_ref[sl] = al_c
 
-    jax.lax.fori_loop(0, NC, chunk_body, jnp.zeros((8, 1), jnp.float32))
+            return run + cum_c[:, 127:128], takes + got
+
+        _, takes = jax.lax.fori_loop(
+            0, NC, chunk_body, (jnp.zeros((8, 1), jnp.float32),
+                                jnp.zeros((8, 1), jnp.float32)))
+        # takes are indexed by DEST row; credit the SOURCE row
+        back = jnp.roll(takes, -p, axis=0) if p else takes
+        consumed_ref[...] = jnp.broadcast_to(
+            consumed_ref[...][:, :1] + back, (8, 128))
+
+    consumed_ref[...] = jnp.zeros_like(consumed_ref)
+    run_pass(0, True)
+    for p in range(1, 8):
+        @pl.when(jnp.sum(n_arr) - jnp.sum(consumed_ref[...][:, :1]) > 0.5)
+        def _(p=p):
+            run_pass(p, False)
 
 
 def merge_rows_g(alive: jax.Array, inc: jax.Array,
@@ -284,7 +327,9 @@ def merge_rows_g(alive: jax.Array, inc: jax.Array,
                  interpret: bool = False):
     """Gather merge: inc (NT, 7, 8, KT) payload-major arrival buffers,
     blocks = static ((offset, width), ...) compacted runs.  Arrivals
-    fill each row's lowest free slots.  Returns (planes', alive')."""
+    fill each row's lowest free slots, spilling round-robin to the
+    other rows when a row runs out (tile-wide free pool).  Returns
+    (planes', alive')."""
     NT, B = alive.shape
     assert B % 1024 == 0
     KT = inc.shape[-1]
@@ -302,6 +347,7 @@ def merge_rows_g(alive: jax.Array, inc: jax.Array,
                   pl.BlockSpec((1, NPAY, 8, KT), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)] + [row] * 6,
         out_specs=tuple([row] * 7),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
         interpret=interpret,
     )(r3(alive), inc, *[r3(p) for p in planes])
     new_planes = tuple(o.reshape(NT, B) for o in outs[:6])

@@ -250,11 +250,10 @@ class TiledSimulation(Simulation):
         # zero kills: mean free slots per row >= both face caps.  Tight
         # decks (high occupancy / large flux) keep the per-tile kernels.
         # The v6 GATHER row path (B % 1024 == 0: no one-hot builds, no
-        # MXU payload dots) relaxes the headroom factor to 1x: its merge
-        # fills free slots row-wide rather than per-face, a coherent
-        # 2-cell burst measured drop-free at exactly 1x headroom
-        # (experiments/r4_exchange_ab.py), and the drop counter + retune
-        # remain the backstop.
+        # MXU payload dots) pools free slots TILE-wide — its merge
+        # spills arrivals across sublane rows in-kernel — so it only
+        # needs tile-level headroom (2x the rounded face cap); the drop
+        # counter + retune remain the backstop.
         from .ops import pallas_exchange as _pex
         self._exchange_rows = self._rows_default(B, ppt)
 
@@ -488,10 +487,12 @@ class TiledSimulation(Simulation):
         return TiledState(lpos=lpos, vel=vel, alive=alive)
 
     def _rows_default(self, B: int, ppt: float) -> bool:
-        """Default for tiles:exchangeRows: row kernels need every row to
-        absorb a worst-case arrival burst — free slots per row >= 2x the
-        face cap for the one-hot kernels, 1x for the gather kernels
-        (which also need B % 1024 == 0)."""
+        """Default for tiles:exchangeRows.  The one-hot row kernels bind
+        arrivals to sublane rows, so every ROW must absorb a worst-case
+        burst: free slots per row >= 2x the face cap.  The gather (v6)
+        kernels spill arrivals across rows in-kernel (tile-wide free
+        pool), so only the TILE needs headroom: total free slots >= 2x
+        the rounded face cap (they also need B % 1024 == 0)."""
         if "tiles:exchangerows" in self.cfg:
             return self.cfg.get_bool("tiles:exchangerows")
         if B % 8:
@@ -501,7 +502,7 @@ class TiledSimulation(Simulation):
         _ks = _pex.default_row_cap(self._exchange_cap, B)
         free_per_row = (B - ppt) / 8.0
         if _pgx.supported(B) and self.ts.n_dims == 3:
-            return free_per_row >= _pgx.round_cap(_ks)
+            return 8 * free_per_row >= 2 * _pgx.round_cap(_ks)
         return free_per_row >= 2 * _ks
 
     def _rebucket_one(self, lpos_s, vel_s, alive_s):

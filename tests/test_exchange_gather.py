@@ -188,3 +188,86 @@ def test_gather_extract_kernel_direct():
         assert np.all(a2[t][leav] == 0.0)
         stay = (alive[t] > 0.5) & ~leav
         assert np.all(a2[t][stay] == 1.0)
+
+
+def test_gather_merge_row_spill():
+    """A destination row with ZERO free slots must spill its arrivals
+    into the tile's other rows (tile-wide free pool), not drop them.
+    Rows 0..6 of the receiving tile are packed full; 100 arrivals
+    target row 0's lane range and must land in row 7."""
+    ts = TileSpec(grid=(8, 4, 4), T=4, B=1024, M=1, chunk=8)
+    NT, B, L = ts.NT, 1024, 128
+    lp = np.full((NT, B, 3), 1.5, np.float32)
+    lv = np.zeros((NT, B, 3), np.float32)
+    la = np.zeros((NT, B), bool)
+    src, dst = 0, ts.NT // 2                 # +x neighbor of tile 0
+    # receiving tile: rows 0..6 fully alive, row 7 empty
+    la[dst, : 7 * L] = True
+    lv[dst, : 7 * L, 0] = 7.0                # stayer marker
+    # source tile: 100 leavers through +x, parked on row 0 lanes
+    la[src, :100] = True
+    lp[src, :100, 0] = 4.25                  # x >= T -> +x leaver
+    lv[src, :100, 1] = np.arange(100, dtype=np.float32) + 1000.0
+    planes, al = _to_planes(jnp.asarray(lp), jnp.asarray(lv),
+                            jnp.asarray(la))
+    n0 = int(al.sum())
+    p_g, al_g, d_g = pex.rebucket_exchange_planes(
+        planes, al, ts.ntiles, ts.T, K=256, interpret=True, rows=True,
+        fused=True, impl="gather")
+    assert int(d_g) == 0
+    assert int(al_g.sum()) == n0
+    a2 = np.asarray(al_g).reshape(NT, 8, L) > 0.5
+    # all 100 arrivals landed in the dst tile, necessarily beyond row 0
+    assert a2[dst].sum() == 7 * L + 100
+    assert a2[dst, 7].sum() == 100
+    vy = np.asarray(p_g[4]).reshape(NT, 8, L)
+    got = np.sort(vy[dst, 7][a2[dst, 7]])
+    np.testing.assert_array_equal(got,
+                                  np.arange(100, dtype=np.float32) + 1000.0)
+    # positions frame-shifted into [0, T)
+    x2 = np.asarray(p_g[0]).reshape(NT, 8, L)
+    np.testing.assert_allclose(x2[dst, 7][a2[dst, 7]], 0.25, atol=1e-6)
+
+
+def test_gather_merge_tile_full_drops_counted():
+    """When the whole receiving tile is full, arrivals are dropped and
+    counted exactly (alive + dropped conserved) — the spill passes must
+    not invent slots or double-place."""
+    ts = TileSpec(grid=(8, 4, 4), T=4, B=1024, M=1, chunk=8)
+    NT, B = ts.NT, 1024
+    lp = np.full((NT, B, 3), 1.5, np.float32)
+    lv = np.zeros((NT, B, 3), np.float32)
+    la = np.zeros((NT, B), bool)
+    src, dst = 0, ts.NT // 2
+    la[dst, :] = True                        # completely full
+    la[src, :50] = True
+    lp[src, :50, 0] = 4.25
+    planes, al = _to_planes(jnp.asarray(lp), jnp.asarray(lv),
+                            jnp.asarray(la))
+    n0 = int(al.sum())
+    p_g, al_g, d_g = pex.rebucket_exchange_planes(
+        planes, al, ts.ntiles, ts.T, K=256, interpret=True, rows=True,
+        fused=True, impl="gather")
+    assert int(d_g) == 50
+    assert int(al_g.sum()) + int(d_g) == n0
+
+
+def test_gather_merge_spill_multiset():
+    """Random dense state with deliberately imbalanced row occupancy:
+    gather (with spill) preserves the global particle multiset exactly
+    where row-bound placement would drop."""
+    ts, lp2, lv, la = _setup((8, 8, 8), 4, 1024, 6000, 1.5, seed=11)
+    # pack: move every particle to the lowest free slots of its tile so
+    # free slots concentrate on high rows (worst case for row binding)
+    order = np.argsort(~np.asarray(la), axis=1, kind="stable")
+    lp2 = jnp.take_along_axis(lp2, jnp.asarray(order)[..., None], axis=1)
+    lv = jnp.take_along_axis(lv, jnp.asarray(order)[..., None], axis=1)
+    la = jnp.take_along_axis(la, jnp.asarray(order), axis=1)
+    planes, al = _to_planes(lp2, lv, la)
+    p_g, al_g, d_g = pex.rebucket_exchange_planes(
+        planes, al, ts.ntiles, ts.T, K=256, interpret=True, rows=True,
+        fused=True, impl="gather")
+    assert int(d_g) == 0
+    assert int(al_g.sum()) == int(al.sum())
+    np.testing.assert_array_equal(_vel_multiset(p_g, al_g),
+                                  _vel_multiset(planes, al))
