@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.sharding import PartitionSpec as P
 
 from ..bc import BCSpec
 from ..grid import BndType
@@ -341,7 +342,7 @@ class ShardedMultigridSolver:
             phi = self._vcycle(l, phi, rhs[l])
         return phi
 
-    def _local_solve(self, rho: jax.Array) -> jax.Array:
+    def _local_solve(self, rho: jax.Array):
         rho = rho.astype(self.dtype)
         if self._has_nullspace:
             rho = self._neutral(rho, 0)
@@ -370,19 +371,27 @@ class ShardedMultigridSolver:
             phi = self._vcycle(0, phi, rho)
             return (phi, i + 1, rms2(phi))
 
-        phi, _, _ = lax.while_loop(cond, body,
-                                   (phi0, jnp.asarray(0), rms2(phi0)))
+        phi, n, r2 = lax.while_loop(cond, body,
+                                    (phi0, jnp.asarray(0), rms2(phi0)))
         if self._has_nullspace:
             phi = self._neutral(phi, 0)
-        return self._clamp(phi, 0)
+        return self._clamp(phi, 0), n, jnp.sqrt(r2)
 
     # --------------------------------------------------------------- solve
     def __call__(self, rho: jax.Array) -> jax.Array:
+        return self.solve_with_stats(rho)[0]
+
+    def solve_with_stats(self, rho: jax.Array):
+        """(phi, n_cycles, residual) — the measured solve-to-tolerance
+        cycle count, matching MultigridSolver.solve_with_stats so mgMode
+        persists the same timer.xy.h5 stats on the decomposed grid
+        (src/multigrid.c:1998-2004)."""
         ctx = self.ctx
         fspec = ctx.field_spec()
-        phi = _shard_map(self._local_solve, ctx.mesh, in_specs=(fspec,),
-                         out_specs=fspec)(rho)
-        return phi
+        phi, n, resid = _shard_map(
+            self._local_solve, ctx.mesh, in_specs=(fspec,),
+            out_specs=(fspec, P(), P()))(rho)
+        return phi, n, resid
 
 
 def from_single(solver: MultigridSolver, ctx: MeshCtx, cfg,

@@ -401,6 +401,17 @@ def _mg_mode_factory(cfg: PincConfig):
         solver = make_from_config(cfg)
         rho_np, phi_exact = fill_sin(spec)
         rho = jnp.asarray(rho_np, dtype=spec.dtype)
+        if any(n > 1 for n in spec.n_subdomains):
+            # decomposed deck: benchmark the shard_map solver on the
+            # device mesh, like the reference's mgMode which always runs
+            # on the decomposed grid (src/multigrid.c:1856-2014)
+            from .parallel.mesh import make_mesh
+            from .parallel.mg import from_single
+            ctx = make_mesh(spec.n_subdomains, spec.true_size)
+            solver = from_single(solver, ctx, cfg, spec.dtype)
+            rho = _jax.device_put(rho, ctx.sharding(ctx.field_spec()))
+            msg(STATUS, "mgMode: sharded solver on %s mesh, %d levels",
+                ctx.n_subdomains, solver.n_levels)
         solve = jax.jit(solver.solve_with_stats)
         _jax.block_until_ready(solve(rho))        # compile outside timing
 
@@ -457,6 +468,7 @@ def _mg_error_scaling_factory(cfg: PincConfig):
         fill = FILL_FIXTURES[fixture.lower()]
         errs = []
         sizes = []
+        sharded = any(n > 1 for n in spec.n_subdomains)
         for scale in (2, 1):
             shape = tuple(s // scale for s in spec.global_size)
             sub = GridSpec(n_dims=spec.n_dims, true_size=shape,
@@ -473,7 +485,23 @@ def _mg_error_scaling_factory(cfg: PincConfig):
                 max_cycles=cfg.get_int("multigrid:mgcycles", 15),
                 tol=1e-7, bc=None if periodic else bc,
                 dtype=spec.dtype)
-            phi = np.asarray(mg(jnp.asarray(rho_np, dtype=spec.dtype)))
+            rho_j = jnp.asarray(rho_np, dtype=spec.dtype)
+            if sharded:
+                # run both resolutions on the decomposed grid, like the
+                # reference's study (src/multigrid.c:1734-1851) — the
+                # half-resolution local extents must stay divisible, the
+                # same mgAllocSubGrids constraint the reference enforces
+                from .parallel.mesh import make_mesh
+                from .parallel.mg import from_single
+                local = tuple(s // n for s, n
+                              in zip(shape, spec.n_subdomains))
+                ctx = make_mesh(spec.n_subdomains, local)
+                mg_sh = from_single(mg, ctx, cfg, spec.dtype)
+                rho_j = jax.device_put(rho_j,
+                                       ctx.sharding(ctx.field_spec()))
+                phi = np.asarray(mg_sh(rho_j))
+            else:
+                phi = np.asarray(mg(rho_j))
             if mg._has_nullspace:
                 pe = phi_exact - phi_exact.mean()
                 phi = phi - phi.mean()

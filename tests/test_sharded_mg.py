@@ -123,3 +123,93 @@ mgLevels = 3
     assert isinstance(sharded, ShardedMultigridSolver)
     # levels capped so local extents stay whole
     assert sharded.n_levels <= _max_levels(ctx)
+
+
+def test_mg_mode_sharded(tmp_path):
+    """mgMode on a decomposed deck (grid:nSubdomains > 1) runs the
+    shard_map solver on the device mesh and persists the measured
+    cycle count, like the reference's mgMode on the decomposed grid
+    (src/multigrid.c:1856-2014)."""
+    from pinc_tpu.config import PincConfig
+    from pinc_tpu.simulation import RUN_MODES
+
+    deck = f"""
+[files]
+output = {tmp_path}/mg/
+[time]
+nTimeSteps = 1
+timeStep = 0.2
+[grid]
+nDims = 3
+nSubdomains = 2,2,2
+trueSize = 16,16,16
+stepSize = 1
+boundaries = PERIODIC
+[population]
+nSpecies = 2
+nParticles = 1 pc
+nAlloc = 1 pc
+charge = -1,1
+mass = 1,1836
+multiplicity = auto
+temperature = 0
+[methods]
+mode = mgMode
+poisson = mgSolve
+[multigrid]
+mgLevels = 3
+mgCycles = 20
+nPreSmooth = 4
+nPostSmooth = 4
+nCoarseSolve = 20
+nRepetitions = 2
+"""
+    cfg = PincConfig.from_string(deck)
+    run = RUN_MODES.select(cfg, "methods:mode")
+    result = run()
+    assert result["seconds"] > 0
+    assert 0 < result["cycles"] <= 20
+    assert result["rms_error"] < 0.1
+    import h5py
+    with h5py.File(f"{tmp_path}/mg/timer.xy.h5") as f:
+        assert f["cycles"][0, 1] == result["cycles"]
+
+
+def test_mg_error_scaling_sharded():
+    """mgModeErrorScaling on a decomposed deck measures ~2nd order on
+    the sharded solver (both resolutions on the device mesh)."""
+    from pinc_tpu.config import PincConfig
+    from pinc_tpu.simulation import RUN_MODES
+
+    deck = """
+[time]
+nTimeSteps = 1
+timeStep = 0.2
+[grid]
+nDims = 3
+nSubdomains = 2,2,1
+trueSize = 16,16,32
+stepSize = 1
+boundaries = PERIODIC
+[population]
+nSpecies = 2
+nParticles = 1 pc
+nAlloc = 1 pc
+charge = -1,1
+mass = 1,1836
+multiplicity = auto
+temperature = 0
+[methods]
+mode = mgModeErrorScaling
+poisson = mgSolve
+[multigrid]
+mgLevels = 3
+mgCycles = 30
+nPreSmooth = 4
+nPostSmooth = 4
+nCoarseSolve = 30
+"""
+    cfg = PincConfig.from_string(deck)
+    run = RUN_MODES.select(cfg, "methods:mode")
+    result = run()
+    assert result["order"] > 1.5, result
