@@ -310,6 +310,42 @@ def main():
             log(f"underresolved aux deck failed: {e!r}")
             aux["underresolved_error"] = str(e)
 
+    # kernel-floor regression gate (VERDICT r4 item 4): the FFT/MG/pic
+    # numbers above must sit inside the recorded per-platform envelope.
+    # Reuses THIS process's measurements where it can (fft/mg) so the
+    # gate costs only the pic-floor deck; failures are loud on stderr
+    # but never break the headline JSON line.
+    try:
+        sys.path.insert(0, "script")
+        import bench_floors
+        envs = (json.loads(bench_floors.ENVELOPE_FILE.read_text())
+                if bench_floors.ENVELOPE_FILE.exists() else {})
+        env = envs.get(dev.platform)
+        if env is None:
+            log(f"floors: no envelope recorded for {dev.platform!r} — "
+                f"run script/bench_floors.py --record")
+            aux["floors"] = "no-envelope"
+        else:
+            checks = {"fft_ms": solver_ms.get("fft"),
+                      "mg_vcycle_ms": solver_ms.get("mg_vcycle")}
+            checks.update(bench_floors.measure_pic_step(
+                grid_n=64 if on_tpu else 16, ppc=32 if on_tpu else 4))
+            fails = []
+            for k, v in checks.items():
+                lim = env.get(k)
+                if lim is None or v is None:
+                    continue
+                ok = v <= lim * bench_floors.TOLERANCE
+                log(f"floors {'PASS' if ok else 'FAIL'} {k}: {v:.4g} "
+                    f"(envelope {lim:.4g}, limit "
+                    f"{lim * bench_floors.TOLERANCE:.4g})")
+                if not ok:
+                    fails.append(k)
+            aux["floors"] = "ok" if not fails else f"FAIL:{','.join(fails)}"
+    except Exception as e:          # noqa: BLE001
+        log(f"floors check failed to run: {e!r}")
+        aux["floors"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "particle_steps_per_sec_per_chip",
         "value": psteps,

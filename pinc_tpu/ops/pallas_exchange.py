@@ -1044,7 +1044,8 @@ def rebucket_exchange_planes(planes: Tuple[jax.Array, ...], alive: jax.Array,
                              ntiles: Tuple[int, ...], T: int, K: int,
                              interpret: bool = False, roll_fns=None,
                              ks: int = None, rows: bool = False,
-                             fused: bool = True, impl: str = "auto"):
+                             fused: bool = True, impl: str = "auto",
+                             ku: int = None):
     """Full 3D re-bucket on component planes.  rows=True with fused=True
     (the default) takes the single-pass v5 exchange; otherwise three
     sequential per-dim sweeps (corner flows ride two sweeps, like the
@@ -1065,7 +1066,8 @@ def rebucket_exchange_planes(planes: Tuple[jax.Array, ...], alive: jax.Array,
             if fused:
                 return pgx.rebucket_exchange_all_rows_g(
                     planes, alive, ntiles, T, Ks, interpret=interpret,
-                    roll_fns=roll_fns)
+                    roll_fns=roll_fns,
+                    KU=ku if ku else pgx.total_cap(Ks, K))
             n0 = jnp.sum(alive.astype(jnp.int32))
             for d in range(3):
                 planes, alive = pgx.exchange_dim_g(

@@ -338,6 +338,14 @@ def _merge_g_kernel(alive_ref, inc_ref, *refs, blocks, KT, L):
             consumed_ref[...][:, :1] + back, (8, 128))
 
     consumed_ref[...] = jnp.zeros_like(consumed_ref)
+    # Pass 0 + 7 statically-unrolled spill passes.  All 8 are REQUIRED
+    # for the tile-wide free-pool guarantee (arrivals concentrated on one
+    # sublane row may need every other row's free slots); each spill pass
+    # is runtime-guarded so balanced tiles pay one scalar check.  The
+    # unroll is the dominant Mosaic code-size term of this kernel — if
+    # compile time ever forces a cap, leftovers after the last pass
+    # become counted drops, so any cap must be an explicit knob, not a
+    # silent default.
     run_pass(0, True)
     for p in range(1, 8):
         @pl.when(jnp.sum(n_arr) - jnp.sum(consumed_ref[...][:, :1]) > 0.5)
@@ -510,11 +518,25 @@ def exchange_dim_g(planes: Tuple[jax.Array, ...], alive: jax.Array,
                         ((0, Ks), (Ks, Ks)), interpret=interpret)
 
 
+def total_cap(Ks: int, K: int = None) -> int:
+    """Default single-class extract cap (TOTAL leavers per sublane row).
+    3*Ks keeps ~1.5x headroom over the isotropic mean total flux (the six
+    per-face caps aggregated to 6*Ks gave ~3x); for small face caps the
+    Poisson tail dominates, so when the tile-level face cap K is known the
+    cap floors at mean_total + 5 sigma (mean per row ~ K/2, sigma
+    sqrt of that) — the same statistic tiled_sim sizes K itself with."""
+    ku = 3 * Ks
+    if K is not None:
+        mean_row = K / 2.0
+        ku = max(ku, int(mean_row + 5.0 * mean_row ** 0.5) + 1)
+    return round_cap(ku)
+
+
 def rebucket_exchange_all_rows_g(planes: Tuple[jax.Array, ...],
                                  alive: jax.Array,
                                  ntiles: Tuple[int, ...], T: int, Ks: int,
                                  Ke: int = None, interpret: bool = False,
-                                 roll_fns=None):
+                                 roll_fns=None, KU: int = None):
     """Fused all-dims gather exchange: ONE extract pass, buffer-space
     x -> y -> z hops with cleanups, ONE merge pass (same structure and
     semantics as pallas_exchange.rebucket_exchange_all_rows).  Returns
@@ -528,9 +550,9 @@ def rebucket_exchange_all_rows_g(planes: Tuple[jax.Array, ...],
     n0 = jnp.sum(alive.astype(jnp.int32))
 
     # single-class extract over the full B, then direction split over
-    # the small compacted buffer (KU = 3 face caps covers the total
-    # leaver flux with the same headroom the per-class caps had)
-    KU = round_cap(3 * Ks)
+    # the small compacted buffer (KU: see total_cap; callers may widen
+    # it via tiles:exchangeTotalCap for anisotropic/beaming decks)
+    KU = round_cap(KU) if KU else total_cap(Ks)
     bufs, alive2 = extract_compact_rows_g(alive, planes, KU, T,
                                           interpret=interpret)
     _, face6 = cleanup_rows_g(bufs, Ks, T, axes=(0, 1, 2),

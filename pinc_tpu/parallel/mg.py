@@ -388,6 +388,14 @@ class ShardedMultigridSolver:
         (src/multigrid.c:1998-2004)."""
         ctx = self.ctx
         fspec = ctx.field_spec()
+        # REPLICATION INVARIANT behind the P() out_specs: _shard_map runs
+        # with check_vma=False, so nothing verifies n/resid are actually
+        # device-invariant.  They are, because rms2 psums its squared
+        # residual over EVERY mesh axis (ctx.axes) and the while_loop
+        # counter only branches on that replicated value.  Any edit that
+        # makes either quantity device-varying (e.g. a per-shard early
+        # exit, or dropping an axis from the psum) would silently return
+        # one device's value here — keep rms2 an all-axes psum.
         phi, n, resid = _shard_map(
             self._local_solve, ctx.mesh, in_specs=(fspec,),
             out_specs=(fspec, P(), P()))(rho)

@@ -493,6 +493,17 @@ def _mg_error_scaling_factory(cfg: PincConfig):
                 # same mgAllocSubGrids constraint the reference enforces
                 from .parallel.mesh import make_mesh
                 from .parallel.mg import from_single
+                bad = [d for d, (s, n) in enumerate(
+                    zip(shape, spec.n_subdomains)) if s % n]
+                if bad:
+                    raise ValueError(
+                        f"mgModeErrorScaling: scaled grid {shape} is not "
+                        f"divisible by grid:nSubdomains="
+                        f"{spec.n_subdomains} along dims {bad} — every "
+                        f"study resolution must decompose evenly (the "
+                        f"mgAllocSubGrids constraint, src/multigrid.c:"
+                        f"317-329); pick trueSize divisible by "
+                        f"2*nSubdomains")
                 local = tuple(s // n for s, n
                               in zip(shape, spec.n_subdomains))
                 ctx = make_mesh(spec.n_subdomains, local)

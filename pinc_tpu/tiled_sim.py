@@ -521,7 +521,9 @@ class TiledSimulation(Simulation):
                 interpret=jax.devices()[0].platform == "cpu",
                 rows=self._exchange_rows,
                 fused=self.cfg.get_bool("tiles:exchangefused", True),
-                impl=self.cfg.get_str("tiles:exchangeimpl", "auto"))
+                impl=self.cfg.get_str("tiles:exchangeimpl", "auto"),
+                ku=(self.cfg.get_int("tiles:exchangetotalcap")
+                    if "tiles:exchangetotalcap" in self.cfg else None))
             return (jnp.stack(planes[:D]), jnp.stack(planes[D:]),
                     al > 0.5, d_n.astype(jnp.int32))
         gpos = tl.global_positions(

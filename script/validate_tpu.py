@@ -37,7 +37,16 @@ def check_exchange_exact():
     nt, T, B, K = (4, 4, 4), 8, 2048, 512
     NT = 64
     ok = True
-    for rows, fused in ((False, False), (True, False), (True, True)):
+    # loop BOTH hardware impls explicitly: B=2048 would auto-select the
+    # gather kernels (B % 1024 == 0), silently dropping one-hot coverage
+    # — the one-hot kernels remain the production fallback for
+    # B % 1024 != 0 decks and the sharded dryrun's small buckets
+    # (VERDICT r4 weak #4)
+    for rows, fused, impl in ((False, False, "onehot"),
+                              (True, False, "onehot"),
+                              (True, True, "onehot"),
+                              (True, False, "gather"),
+                              (True, True, "gather")):
         alive = (rng.uniform(size=(NT, B)) < 0.6).astype(np.float32)
         pos = [rng.uniform(-1.5, T + 1.5, (NT, B)).astype(np.float32)
                for _ in range(3)]
@@ -45,8 +54,9 @@ def check_exchange_exact():
                for _ in range(3)]
         planes = tuple(jnp.asarray(p) for p in pos + vel)
         pl2, al2, d = jax.jit(
-            lambda p, a, r=rows, f=fused: pex.rebucket_exchange_planes(
-                p, a, nt, T, K=K, rows=r, fused=f))(
+            lambda p, a, r=rows, f=fused, im=impl:
+            pex.rebucket_exchange_planes(
+                p, a, nt, T, K=K, rows=r, fused=f, impl=im))(
             planes, jnp.asarray(alive))
         m0 = alive > 0.5
         m1 = np.asarray(al2) > 0.5
@@ -60,7 +70,7 @@ def check_exchange_exact():
                                            .reshape(n1, -1))))
         this = n0 == n1 + int(d) and int(d) == 0 and same
         ok &= this
-        log(f"exchange rows={rows} fused={fused}: conserve="
+        log(f"exchange impl={impl} rows={rows} fused={fused}: conserve="
             f"{n0 == n1 + int(d)} dropped={int(d)} "
             f"payload_bitexact={same}")
     return ok
