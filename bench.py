@@ -100,8 +100,6 @@ slack = 1.0625
             steps = Ri * max(1, round(steps / Ri))
         log(f"window: {steps} steps (cadences {Rs})")
 
-    # fresh=False: the per-step margin schedule measured a net loss
-    # end-to-end (compile blow-up, no runtime win — PARITY.md round-3)
     run_n = (sim.make_scan_steps(steps, donate=True, fresh=fresh)
              if layout == "tiled" else sim.make_scan_steps(steps))
     t0 = time.monotonic()
@@ -288,8 +286,13 @@ def main():
     # Maxwellian" (the reference's canonical decks all resolve lambda_D,
     # langmuirCold.ini:24); the 10k-step drift record in PARITY.md is
     # measured at this operating point
+    # fresh=True: the per-step margin schedule (pic_step kernels at the
+    # margin particles can actually have reached since the last re-bucket)
+    # re-measured a clear win in round 5 once the exchange transport was
+    # exact — 161 vs 192 ms/step chained at this deck (r3's negative was
+    # measured against the corrupt-transport exchange's cadences)
     psteps, dropped = bench_pic(grid_n=grid_n, ppc=ppc, steps=steps,
-                                vth="0.1,0.0023")
+                                vth="0.1,0.0023", fresh=True)
     aux = {f"poisson_{k}_ms_{grid_n}3": v for k, v in solver_ms.items()}
     aux["dropped_in_window"] = dropped
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
