@@ -100,11 +100,34 @@ def reflect(p: Particles, L: Sequence[int],
 # Accelerators
 # ---------------------------------------------------------------------------
 
+def _pad_chunks(arr: jax.Array, n: int, chunk: int) -> jax.Array:
+    """(n, ...) -> (nc, chunk, ...) with zero padding of the tail."""
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+    if pad:
+        arr = jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1))
+    return arr.reshape((nc, chunk) + arr.shape[1:])
+
+
 def _gathered_field(E: jax.Array, p: Particles, order: int,
-                    periodic: bool) -> jax.Array:
-    if order == 1:
-        return cic.gather_cic(E, p.cell, p.frac, periodic=periodic)
-    return cic.gather_ngp(E, p.cell, p.frac, periodic=periodic)
+                    periodic: bool, chunk: int = 0) -> jax.Array:
+    gather = cic.gather_cic if order == 1 else cic.gather_ngp
+    S, cap, D = p.cell.shape
+    n = S * cap
+    if chunk and n > chunk:
+        # chunked sweep: the 2^D corner-gather intermediates peak at
+        # ~chunk slots instead of the whole population — reference-
+        # semantics decks past the flat single-shot HBM peak still run
+        # (the C reference streams one particle at a time and has no
+        # such peak, langmuirCold.ini:38 runs 64 ppc at any size)
+        cell = _pad_chunks(p.cell.reshape(n, D), n, chunk)
+        frac = _pad_chunks(p.frac.reshape(n, D), n, chunk)
+        out = jax.lax.map(
+            lambda xs: gather(E, xs[0], xs[1], periodic=periodic),
+            (cell, frac))
+        out = out.reshape((-1,) + out.shape[2:])[:n]
+        return out.reshape((S, cap) + out.shape[1:])
+    return gather(E, p.cell, p.frac, periodic=periodic)
 
 
 def _kick(p: Particles, params: SpeciesParams, Ep: jax.Array,
@@ -126,14 +149,15 @@ def acc_leapfrog(p: Particles, params: SpeciesParams, E: jax.Array,
                  order: int = 1, compute_ke: bool = True,
                  periodic: bool = True,
                  E_ext: Optional[jax.Array] = None,
-                 e_scale: float = 1.0) -> Tuple[Particles, jax.Array]:
+                 e_scale: float = 1.0,
+                 chunk: int = 0) -> Tuple[Particles, jax.Array]:
     """CIC/NGP gather + electrostatic kick (puAccND1KE / puAccND0KE).
 
     e_scale: kick-strength factor for the initialization half kick
     (src/main.c:184-186 scales the whole E grid by 0.5; the external
     field must scale with it, so it is applied here rather than folded
-    into the caller's E)."""
-    Ep = _gathered_field(E, p, order, periodic)
+    into the caller's E).  chunk: see _gathered_field."""
+    Ep = _gathered_field(E, p, order, periodic, chunk=chunk)
     if E_ext is not None:
         Ep = Ep + e_scale * E_ext
     return _kick(p, params, Ep, compute_ke)
@@ -143,12 +167,13 @@ def acc_boris(p: Particles, params: SpeciesParams, E: jax.Array,
               B_ext: jax.Array, order: int = 1, compute_ke: bool = True,
               periodic: bool = True,
               E_ext: Optional[jax.Array] = None,
-              e_scale: float = 1.0) -> Tuple[Particles, jax.Array]:
+              e_scale: float = 1.0,
+              chunk: int = 0) -> Tuple[Particles, jax.Array]:
     """Boris rotation with a uniform external B (puBoris3D1[KE],
     src/pusher.c:394-505): half electric kick, magnetic rotation through
     the per-species precomputed T = (q/m) B/2 and S = 2T/(1+T^2), half
     electric kick."""
-    Ep = _gathered_field(E, p, order, periodic)
+    Ep = _gathered_field(E, p, order, periodic, chunk=chunk)
     if E_ext is not None:
         Ep = Ep + e_scale * E_ext
     qm = (params.charge / params.mass)[:, None, None]
@@ -182,19 +207,36 @@ def acc_boris(p: Particles, params: SpeciesParams, E: jax.Array,
 
 def deposit(p: Particles, params: SpeciesParams, shape: Sequence[int],
             order: int = 1, periodic: bool = True,
-            dtype=jnp.float32) -> jax.Array:
+            dtype=jnp.float32, chunk: int = 0) -> jax.Array:
     """Charge density from all species (puDistr3D1/ND1/ND0 semantics):
     every alive superparticle deposits its charge onto 2^D (CIC) or 1 (NGP)
     nodes.  Species are flattened into one scatter for a single fused pass.
+
+    chunk > 0: scan the scatter over fixed-size particle chunks,
+    accumulating into one rho grid — peak intermediate memory becomes
+    O(chunk * 2^D) instead of O(S*cap * 2^D), so reference-semantics
+    decks beyond the flat single-shot HBM peak still run (the padded
+    tail deposits value 0, i.e. exactly nothing).
     """
     S, cap, D = p.cell.shape
     q = jnp.broadcast_to(params.charge[:, None], (S, cap))
     value = jnp.where(p.alive, q, 0.0).reshape(S * cap)
     cell = p.cell.reshape(S * cap, D)
     frac = p.frac.reshape(S * cap, D)
-    if order == 1:
-        return cic.scatter_cic(shape, cell, frac, value, periodic, dtype)
-    return cic.scatter_ngp(shape, cell, frac, value, periodic, dtype)
+    scatter = cic.scatter_cic if order == 1 else cic.scatter_ngp
+    n = S * cap
+    if chunk and n > chunk:
+        xs = (_pad_chunks(cell, n, chunk), _pad_chunks(frac, n, chunk),
+              _pad_chunks(value, n, chunk))
+
+        def body(rho, x):
+            c_, f_, v_ = x
+            return rho + scatter(shape, c_, f_, v_, periodic, dtype), None
+
+        rho0 = jnp.zeros(tuple(shape), dtype=dtype)
+        rho, _ = jax.lax.scan(body, rho0, xs)
+        return rho
+    return scatter(shape, cell, frac, value, periodic, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -212,9 +254,22 @@ def _sanity(name: str, dims: int, order: int):
     return check
 
 
+def _sweep_chunk(cfg: PincConfig) -> int:
+    """population:sweepChunk — flat-layout particle-sweep chunk size in
+    slots (0 = single shot).  Default: auto-chunk at 8M slots once the
+    population exceeds 16M slots, keeping the corner-expansion working
+    set bounded while leaving small decks on the fused single pass."""
+    if "population:sweepchunk" in cfg:
+        return cfg.get_int("population:sweepchunk")
+    from ..population import capacity_of
+    slots = capacity_of(cfg) * cfg.get_int("population:nspecies")
+    return 8_388_608 if slots > 16_777_216 else 0
+
+
 def _make_acc(order: int, compute_ke: bool, boris: bool):
     def factory(cfg: PincConfig):
         nd = cfg.get_int("grid:ndims")
+        chunk = _sweep_chunk(cfg)
         B = jnp.asarray(cfg.get_double_arr("fields:bext", nd)
                         if "fields:bext" in cfg else [0.0] * nd)
         E_ext_arr = (jnp.asarray(cfg.get_double_arr("fields:eext", nd))
@@ -226,12 +281,14 @@ def _make_acc(order: int, compute_ke: bool, boris: bool):
             def acc(p, params, E, periodic=True, e_scale=1.0):
                 return acc_boris(p, params, E, B3, order=order,
                                  compute_ke=compute_ke, periodic=periodic,
-                                 E_ext=E_ext_arr, e_scale=e_scale)
+                                 E_ext=E_ext_arr, e_scale=e_scale,
+                                 chunk=chunk)
         else:
             def acc(p, params, E, periodic=True, e_scale=1.0):
                 return acc_leapfrog(p, params, E, order=order,
                                     compute_ke=compute_ke, periodic=periodic,
-                                    E_ext=E_ext_arr, e_scale=e_scale)
+                                    E_ext=E_ext_arr, e_scale=e_scale,
+                                    chunk=chunk)
         acc.order = order
         acc.boris = boris
         acc.E_ext = E_ext_arr
@@ -251,9 +308,10 @@ for _name, _dims, _order, _ke, _boris in [
 
 def _make_distr(order: int):
     def factory(cfg: PincConfig):
+        chunk = _sweep_chunk(cfg)
         def distr(p, params, shape, periodic=True, dtype=jnp.float32):
             return deposit(p, params, shape, order=order,
-                           periodic=periodic, dtype=dtype)
+                           periodic=periodic, dtype=dtype, chunk=chunk)
         distr.order = order
         return distr
     return factory
