@@ -55,7 +55,7 @@ class ShardedMultigridSolver:
                  n_post: int = 10, n_coarse: int = 10,
                  cycle: str = "mgvrecursive", max_cycles: int = 15,
                  tol: float = 1e-10, bc: Optional[BCSpec] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, n_bottom_levels: int = 1):
         self.ctx = ctx
         self.dtype = dtype
         self.cycle = cycle.lower()
@@ -85,6 +85,27 @@ class ShardedMultigridSolver:
             for l in range(n_levels)]
         self._n_global = [math.prod(s) * ctx.n_devices
                           for s in self._local_shapes]
+        # coarse-grid AGGLOMERATION: below the per-subdomain divisibility
+        # clamp, the bottom-level grid is all_gathered to every device
+        # (it is tiny by then) and the hierarchy CONTINUES with the
+        # single-device solver, replicated — so the V-cycle keeps its
+        # algorithmic depth instead of leaning on n_coarse smooths.
+        # This exceeds the reference, whose hierarchy simply stops at the
+        # subdomain clamp (src/multigrid.c:317-329).
+        self._bottom = None
+        if n_bottom_levels > 1:
+            bshape = tuple(t * n >> (n_levels - 1) for t, n in
+                           zip(ctx.true_size, ctx.n_subdomains))
+            nb = 1
+            while (nb < n_bottom_levels
+                   and all(s % (1 << nb) == 0 for s in bshape)
+                   and min(s >> nb for s in bshape) >= 2):
+                nb += 1
+            if nb > 1:
+                self._bottom = MultigridSolver(
+                    bshape, n_levels=nb, n_pre=n_pre, n_post=n_post,
+                    n_coarse=n_coarse, cycle="mgvrecursive",
+                    max_cycles=1, tol=0.0, bc=self._bcs[-1], dtype=dtype)
 
     # --------------------------------------------------- per-device pieces
     def _coords(self):
@@ -315,9 +336,34 @@ class ShardedMultigridSolver:
             fine = fine.at[tuple(odd)].set(avg[tuple(src)])
         return fine
 
+    def _gather_global(self, x: jax.Array) -> jax.Array:
+        """Replicate the full (tiny) bottom-level grid on every device:
+        one tiled all_gather per mesh axis, concatenated in device-block
+        order along the matching grid dim."""
+        for d, ax in enumerate(self.ctx.axes):
+            if self.ctx.n_subdomains[d] > 1:
+                x = lax.all_gather(x, ax, axis=d, tiled=True)
+        return x
+
+    def _slice_local(self, g: jax.Array, level: int) -> jax.Array:
+        """This device's block of a replicated global level-``level``
+        field."""
+        shape = self._local_shapes[level]
+        coords = self._coords()
+        starts = [c * s for c, s in zip(coords, shape)]
+        return lax.dynamic_slice(g, starts, shape)
+
     # ------------------------------------------------------------- cycles
     def _vcycle(self, level: int, phi, rho):
         if level == self.n_levels - 1:
+            if self._bottom is not None:
+                # agglomerated bottom: gather phi/rho, continue the
+                # hierarchy replicated with the single-device solver
+                # (one V-cycle of its own recursion), slice back
+                phi_g = self._gather_global(phi)
+                rho_g = self._gather_global(rho)
+                phi_g = self._bottom._vcycle(0, phi_g, rho_g)
+                return self._slice_local(phi_g, level)
             return self._smooth(phi, rho, level, self.n_coarse)
         phi = self._smooth(phi, rho, level, self.n_pre)
         defect = rho + self._lap(phi, level)
@@ -405,15 +451,19 @@ class ShardedMultigridSolver:
 def from_single(solver: MultigridSolver, ctx: MeshCtx, cfg,
                 dtype) -> ShardedMultigridSolver:
     """Build the sharded solver with the single-block solver's parameters
-    (which were read from the [multigrid] deck section)."""
+    (which were read from the [multigrid] deck section).  Levels beyond
+    the per-subdomain divisibility clamp continue on the agglomerated
+    (replicated) bottom grid, so the deck's requested depth is honored."""
+    n_sh = min(solver.n_levels, _max_levels(ctx))
     return ShardedMultigridSolver(
         ctx,
-        n_levels=min(solver.n_levels, _max_levels(ctx)),
+        n_levels=n_sh,
         n_pre=cfg.get_int("multigrid:npresmooth", 10),
         n_post=cfg.get_int("multigrid:npostsmooth", 10),
         n_coarse=cfg.get_int("multigrid:ncoarsesolve", 10),
         cycle=solver.cycle, max_cycles=solver.max_cycles, tol=solver.tol,
-        bc=solver.bc, dtype=dtype)
+        bc=solver.bc, dtype=dtype,
+        n_bottom_levels=max(1, solver.n_levels - n_sh + 1))
 
 
 def _max_levels(ctx: MeshCtx) -> int:
