@@ -1456,8 +1456,13 @@ class TiledSimulation(Simulation):
         # Mosaic limitation ("result/input offset mismatch on non-concat
         # dimension" — 2M+1-lane tails no longer tile the 8-sublane
         # quantum); those decks take the XLA fold below, whose cost the
-        # larger-margin layouts amortize anyway (fewer, bigger tiles)
+        # larger-margin layouts amortize anyway (fewer, bigger tiles).
+        # nz % 128 == 0 as well: at sub-vreg lane widths (e.g. 64^3
+        # decks, nz = 64) the SAME Mosaic offset restriction rejects the
+        # x-pad sublane concat (measured on v5e, jax 0.9 — the
+        # bench_floors 64^3 pic-floor deck caught it)
         use_fk = (use_ek and ts.M == 1 and ts.T > 2 * ts.M + 1
+                  and ts.grid[-1] % 128 == 0
                   and isinstance(self.solver, SpectralSolver))
         if use_fk:
             nx, ny, nz = ts.grid
