@@ -93,7 +93,7 @@ def _take(src, idx):
 # buffer slot (= dropped, counted by the caller).
 # ---------------------------------------------------------------------------
 
-def _extract_g_kernel(alive_ref, *refs, n_cls, Ks, T, L, classify):
+def _extract_g_kernel(alive_ref, *refs, n_cls, Ks, T, L, classify, G=1):
     plane_refs = refs[:6]
     buf_ref, alive_out_ref = refs[6], refs[7]
     NC = L // 128
@@ -105,48 +105,52 @@ def _extract_g_kernel(alive_ref, *refs, n_cls, Ks, T, L, classify):
     tgt = (iota + 1).astype(jnp.float32)
     kk = iota.astype(jnp.float32)
 
-    def chunk_body(c, run):
-        off = pl.multiple_of(c * 128, 128)
-        sl = (0, slice(None), pl.ds(off, 128))
-        alive_c = alive_ref[sl]
-        planes_c = [plane_refs[p][sl] for p in range(6)]
-        masks, leave = classify(planes_c, alive_c, T)
-        alive_out_ref[sl] = jnp.where(leave, 0.0, alive_c)
+    def tile_body(gg, _):
+        def chunk_body(c, run):
+            off = pl.multiple_of(c * 128, 128)
+            sl = (gg, slice(None), pl.ds(off, 128))
+            alive_c = alive_ref[sl]
+            planes_c = [plane_refs[p][sl] for p in range(6)]
+            masks, leave = classify(planes_c, alive_c, T)
+            alive_out_ref[sl] = jnp.where(leave, 0.0, alive_c)
 
-        runs_new = []
-        for cls in range(n_cls):
-            mc = masks[cls].astype(jnp.float32)
-            cumc = jax.lax.dot_general(
-                mc, u, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            n_c = cumc[:, 127:128]
-            run_c = run[:, cls:cls + 1]
-            runs_new.append(run_c + n_c)
+            runs_new = []
+            for cls in range(n_cls):
+                mc = masks[cls].astype(jnp.float32)
+                cumc = jax.lax.dot_general(
+                    mc, u, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                n_c = cumc[:, 127:128]
+                run_c = run[:, cls:cls + 1]
+                runs_new.append(run_c + n_c)
 
-            @pl.when(jnp.max(n_c) > 0.5)
-            def _(cumc=cumc, n_c=n_c, run_c=run_c, cls=cls):
-                src = _binsearch128(cumc, tgt)          # rank -> lane
-                for w in range(KV):
-                    rel = kk + float(w * 128) - run_c   # buffer-local rank
-                    hit = (rel >= 0.0) & (rel < n_c)
+                @pl.when(jnp.max(n_c) > 0.5)
+                def _(cumc=cumc, n_c=n_c, run_c=run_c, cls=cls):
+                    src = _binsearch128(cumc, tgt)      # rank -> lane
+                    for w in range(KV):
+                        rel = kk + float(w * 128) - run_c  # buf-local rank
+                        hit = (rel >= 0.0) & (rel < n_c)
 
-                    @pl.when(jnp.sum(jnp.where(hit, 1.0, 0.0)) > 0.5)
-                    def _(rel=rel, hit=hit, w=w, cls=cls):
-                        idx2 = _take(src, jnp.clip(rel.astype(jnp.int32),
-                                                   0, 127))
-                        bs = (0, slice(None),
-                              pl.ds(cls * Ks + w * 128, 128))
-                        for p in range(6):
-                            v = _take(planes_c[p], idx2)
-                            buf_ref[(0, p) + bs[1:]] = jnp.where(
-                                hit, v, buf_ref[(0, p) + bs[1:]])
-                        buf_ref[(0, 6) + bs[1:]] = jnp.where(
-                            hit, 1.0, buf_ref[(0, 6) + bs[1:]])
+                        @pl.when(jnp.sum(jnp.where(hit, 1.0, 0.0)) > 0.5)
+                        def _(rel=rel, hit=hit, w=w, cls=cls):
+                            idx2 = _take(src,
+                                         jnp.clip(rel.astype(jnp.int32),
+                                                  0, 127))
+                            bs = pl.ds(cls * Ks + w * 128, 128)
+                            for p in range(6):
+                                v = _take(planes_c[p], idx2)
+                                buf_ref[gg, p, :, bs] = jnp.where(
+                                    hit, v, buf_ref[gg, p, :, bs])
+                            buf_ref[gg, 6, :, bs] = jnp.where(
+                                hit, 1.0, buf_ref[gg, 6, :, bs])
 
-        return jnp.concatenate(runs_new, axis=1)
+            return jnp.concatenate(runs_new, axis=1)
 
-    jax.lax.fori_loop(0, NC, chunk_body,
-                      jnp.zeros((8, n_cls), jnp.float32))
+        jax.lax.fori_loop(0, NC, chunk_body,
+                          jnp.zeros((8, n_cls), jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, G, tile_body, 0)
 
 
 def _classify_dim(d: int):
@@ -214,22 +218,38 @@ def extract_compact_rows_g(alive: jax.Array, planes: Tuple[jax.Array, ...],
     return _extract_g(alive, planes, _classify_any, 1, KU, T, interpret)
 
 
+def _tiles_per_program(NT: int, per_tile_bytes: int,
+                       budget: int = 12_000_000) -> int:
+    """Largest power-of-two divisor of NT whose double-buffered VMEM
+    window estimate stays under budget.  One tile per program leaves the
+    kernels PER-PROGRAM-OVERHEAD-bound at production tile counts (4096
+    programs of ~0.5 MB blocks); batching tiles amortizes the program
+    prologue/DMA-issue cost."""
+    G = 1
+    while (NT % (2 * G) == 0 and 2 * G * per_tile_bytes * 2 <= budget
+           and 2 * G <= 32):
+        G *= 2
+    return G
+
+
 def _extract_g(alive, planes, classify, n_cls, Ks, T, interpret):
     NT, B = alive.shape
     assert B % 1024 == 0 and Ks % 128 == 0
     L = B // 8
-    row = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+    per_tile = (8 * L * 4) * 8 + NPAY * 8 * n_cls * Ks * 4
+    G = _tiles_per_program(NT, per_tile)
+    row = pl.BlockSpec((G, 8, L), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     r3 = lambda a: a.reshape(NT, 8, L)
     bufs, alive2 = pl.pallas_call(
         partial(_extract_g_kernel, n_cls=n_cls, Ks=Ks, T=T, L=L,
-                classify=classify),
+                classify=classify, G=G),
         out_shape=(jax.ShapeDtypeStruct((NT, NPAY, 8, n_cls * Ks),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((NT, 8, L), jnp.float32)),
-        grid=(NT,),
+        grid=(NT // G,),
         in_specs=[row] * 7,
-        out_specs=(pl.BlockSpec((1, NPAY, 8, n_cls * Ks),
+        out_specs=(pl.BlockSpec((G, NPAY, 8, n_cls * Ks),
                                 lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM), row),
         interpret=interpret,
@@ -256,101 +276,110 @@ def _extract_g(alive, planes, classify, n_cls, Ks, T, interpret):
 # behavior while keeping the cheap gather transport.
 # ---------------------------------------------------------------------------
 
-def _merge_g_kernel(alive_ref, inc_ref, *refs, blocks, KT, L):
+def _merge_g_kernel(alive_ref, inc_ref, *refs, blocks, KT, L, G=1):
     plane_refs = refs[:6]
     out_refs = refs[6:12]
     alive_out_ref = refs[12]
     consumed_ref = refs[13]                             # scratch (8, 128)
     NC = L // 128
     SV = KT // 128
-
-    flag = inc_ref[0, 6]                                # (8, KT)
-    n_bs = [jnp.sum(flag[:, off:off + w], axis=1, keepdims=True)
-            for off, w in blocks]
-    n_arr = sum(n_bs)                                   # (8, 1)
     u = _tri_u128()
 
-    def run_pass(p, first):
-        """Place source row (r - p) % 8's unconsumed arrivals into dest
-        row r's free slots, lowest-rank first.  first=True additionally
-        copies stay-behind payloads/alive through to the outputs."""
-        roll = (lambda x: jnp.roll(x, p, axis=0)) if p else (lambda x: x)
-        nb_p = [roll(nb) for nb in n_bs]
-        na_p = roll(n_arr)
-        co_p = roll(consumed_ref[...][:, :1])
-        n_avail = na_p - co_p                           # per DEST row
+    def tile_body(gg, _):
+        flag = inc_ref[gg, 6]                           # (8, KT)
+        n_bs = [jnp.sum(flag[:, off:off + w], axis=1, keepdims=True)
+                for off, w in blocks]
+        n_arr = sum(n_bs)                               # (8, 1)
 
-        def chunk_body(c, carry):
-            run, takes = carry
-            off = pl.multiple_of(c * 128, 128)
-            sl = (0, slice(None), pl.ds(off, 128))
-            al_c = alive_ref[sl] if first else alive_out_ref[sl]
-            free_c = (al_c <= 0.5).astype(jnp.float32)
-            cum_c = jax.lax.dot_general(
-                free_c, u, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            frank_c = run + cum_c - 1.0                 # per-lane rank
-            take_any = (free_c > 0.5) & (frank_c < n_avail)
-            got = jnp.sum(jnp.where(take_any, 1.0, 0.0), axis=1,
-                          keepdims=True)
+        def run_pass(p, first):
+            """Place source row (r - p) % 8's unconsumed arrivals into
+            dest row r's free slots, lowest-rank first.  first=True
+            additionally copies stay-behind payloads/alive through."""
+            roll = (lambda x: jnp.roll(x, p, axis=0)) if p else (
+                lambda x: x)
+            nb_p = [roll(nb) for nb in n_bs]
+            na_p = roll(n_arr)
+            co_p = roll(consumed_ref[...][:, :1])
+            n_avail = na_p - co_p                       # per DEST row
 
-            @pl.when(jnp.sum(got) > 0.5)
-            def _():
-                # source-row arrival rank -> arrival column (piecewise
-                # over the static blocks, counts from the source row)
-                arank = co_p + frank_c
-                col = jnp.full((8, 128), -1.0, jnp.float32)
-                cum_prev = jnp.zeros((8, 1), jnp.float32)
-                for (boff, _w), n_b in zip(blocks, nb_p):
-                    inb = (arank >= cum_prev) & (arank < cum_prev + n_b)
-                    col = jnp.where(inb,
-                                    float(boff) + arank - cum_prev, col)
-                    cum_prev = cum_prev + n_b
-                coli = col.astype(jnp.int32)
-                hit_any = take_any & (col >= 0.0)
-                for pp in range(6):
-                    out_c = plane_refs[pp][sl] if first else out_refs[pp][sl]
-                    for v in range(SV):
-                        idxv = coli - v * 128
-                        hitv = hit_any & (idxv >= 0) & (idxv < 128)
-                        src = roll(inc_ref[0, pp, :, pl.ds(v * 128, 128)])
-                        out_c = jnp.where(
-                            hitv, _take(src, jnp.clip(idxv, 0, 127)),
-                            out_c)
-                    out_refs[pp][sl] = out_c
-                alive_out_ref[sl] = jnp.where(hit_any, 1.0, al_c)
+            def chunk_body(c, carry):
+                run, takes = carry
+                off = pl.multiple_of(c * 128, 128)
+                sl = (gg, slice(None), pl.ds(off, 128))
+                al_c = alive_ref[sl] if first else alive_out_ref[sl]
+                free_c = (al_c <= 0.5).astype(jnp.float32)
+                cum_c = jax.lax.dot_general(
+                    free_c, u, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                frank_c = run + cum_c - 1.0             # per-lane rank
+                take_any = (free_c > 0.5) & (frank_c < n_avail)
+                got = jnp.sum(jnp.where(take_any, 1.0, 0.0), axis=1,
+                              keepdims=True)
 
-            if first:
-                @pl.when(jnp.sum(got) <= 0.5)
+                @pl.when(jnp.sum(got) > 0.5)
                 def _():
+                    # source-row arrival rank -> arrival column
+                    # (piecewise over the static blocks, counts from the
+                    # source row)
+                    arank = co_p + frank_c
+                    col = jnp.full((8, 128), -1.0, jnp.float32)
+                    cum_prev = jnp.zeros((8, 1), jnp.float32)
+                    for (boff, _w), n_b in zip(blocks, nb_p):
+                        inb = (arank >= cum_prev) & (arank < cum_prev + n_b)
+                        col = jnp.where(
+                            inb, float(boff) + arank - cum_prev, col)
+                        cum_prev = cum_prev + n_b
+                    coli = col.astype(jnp.int32)
+                    hit_any = take_any & (col >= 0.0)
                     for pp in range(6):
-                        out_refs[pp][sl] = plane_refs[pp][sl]
-                    alive_out_ref[sl] = al_c
+                        out_c = (plane_refs[pp][sl] if first
+                                 else out_refs[pp][sl])
+                        for v in range(SV):
+                            idxv = coli - v * 128
+                            hitv = hit_any & (idxv >= 0) & (idxv < 128)
+                            src = roll(inc_ref[gg, pp, :,
+                                               pl.ds(v * 128, 128)])
+                            out_c = jnp.where(
+                                hitv, _take(src, jnp.clip(idxv, 0, 127)),
+                                out_c)
+                        out_refs[pp][sl] = out_c
+                    alive_out_ref[sl] = jnp.where(hit_any, 1.0, al_c)
 
-            return run + cum_c[:, 127:128], takes + got
+                if first:
+                    @pl.when(jnp.sum(got) <= 0.5)
+                    def _():
+                        for pp in range(6):
+                            out_refs[pp][sl] = plane_refs[pp][sl]
+                        alive_out_ref[sl] = al_c
 
-        _, takes = jax.lax.fori_loop(
-            0, NC, chunk_body, (jnp.zeros((8, 1), jnp.float32),
-                                jnp.zeros((8, 1), jnp.float32)))
-        # takes are indexed by DEST row; credit the SOURCE row
-        back = jnp.roll(takes, -p, axis=0) if p else takes
-        consumed_ref[...] = jnp.broadcast_to(
-            consumed_ref[...][:, :1] + back, (8, 128))
+                return run + cum_c[:, 127:128], takes + got
 
-    consumed_ref[...] = jnp.zeros_like(consumed_ref)
-    # Pass 0 + 7 statically-unrolled spill passes.  All 8 are REQUIRED
-    # for the tile-wide free-pool guarantee (arrivals concentrated on one
-    # sublane row may need every other row's free slots); each spill pass
-    # is runtime-guarded so balanced tiles pay one scalar check.  The
-    # unroll is the dominant Mosaic code-size term of this kernel — if
-    # compile time ever forces a cap, leftovers after the last pass
-    # become counted drops, so any cap must be an explicit knob, not a
-    # silent default.
-    run_pass(0, True)
-    for p in range(1, 8):
-        @pl.when(jnp.sum(n_arr) - jnp.sum(consumed_ref[...][:, :1]) > 0.5)
-        def _(p=p):
-            run_pass(p, False)
+            _, takes = jax.lax.fori_loop(
+                0, NC, chunk_body, (jnp.zeros((8, 1), jnp.float32),
+                                    jnp.zeros((8, 1), jnp.float32)))
+            # takes are indexed by DEST row; credit the SOURCE row
+            back = jnp.roll(takes, -p, axis=0) if p else takes
+            consumed_ref[...] = jnp.broadcast_to(
+                consumed_ref[...][:, :1] + back, (8, 128))
+
+        consumed_ref[...] = jnp.zeros_like(consumed_ref)
+        # Pass 0 + 7 statically-unrolled spill passes.  All 8 are
+        # REQUIRED for the tile-wide free-pool guarantee (arrivals
+        # concentrated on one sublane row may need every other row's
+        # free slots); each spill pass is runtime-guarded so balanced
+        # tiles pay one scalar check.  The unroll is the dominant Mosaic
+        # code-size term of this kernel — if compile time ever forces a
+        # cap, leftovers after the last pass become counted drops, so
+        # any cap must be an explicit knob, not a silent default.
+        run_pass(0, True)
+        for p in range(1, 8):
+            @pl.when(jnp.sum(n_arr)
+                     - jnp.sum(consumed_ref[...][:, :1]) > 0.5)
+            def _(p=p):
+                run_pass(p, False)
+        return 0
+
+    jax.lax.fori_loop(0, G, tile_body, 0)
 
 
 def merge_rows_g(alive: jax.Array, inc: jax.Array,
@@ -366,16 +395,18 @@ def merge_rows_g(alive: jax.Array, inc: jax.Array,
     KT = inc.shape[-1]
     assert KT % 128 == 0
     L = B // 8
-    row = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+    per_tile = (8 * L * 4) * 14 + NPAY * 8 * KT * 4
+    G = _tiles_per_program(NT, per_tile)
+    row = pl.BlockSpec((G, 8, L), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     r3 = lambda a: a.reshape(NT, 8, L)
     outs = pl.pallas_call(
-        partial(_merge_g_kernel, blocks=tuple(blocks), KT=KT, L=L),
+        partial(_merge_g_kernel, blocks=tuple(blocks), KT=KT, L=L, G=G),
         out_shape=tuple(jax.ShapeDtypeStruct((NT, 8, L), jnp.float32)
                         for _ in range(7)),
-        grid=(NT,),
+        grid=(NT // G,),
         in_specs=[row,
-                  pl.BlockSpec((1, NPAY, 8, KT), lambda i: (i, 0, 0, 0),
+                  pl.BlockSpec((G, NPAY, 8, KT), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)] + [row] * 6,
         out_specs=tuple([row] * 7),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
@@ -391,7 +422,7 @@ def merge_rows_g(alive: jax.Array, inc: jax.Array,
 # the small (NT, 7, 8, W) buffers; same gather machinery with L -> W.
 # ---------------------------------------------------------------------------
 
-def _cleanup_g_kernel(inc_ref, *out_refs, W, Ke, T, axes):
+def _cleanup_g_kernel(inc_ref, *out_refs, W, Ke, T, axes, G=1):
     n_dir = 2 * len(axes)
     set_ref = out_refs[0]
     extra_refs = out_refs[1:]
@@ -409,53 +440,59 @@ def _cleanup_g_kernel(inc_ref, *out_refs, W, Ke, T, axes):
     n_cls = n_dir + 1
     caps = [W] + [Ke] * n_dir
 
-    def chunk_body(c, run):
-        off = pl.multiple_of(c * 128, 128)
-        flag_c = inc_ref[0, 6, :, pl.ds(off, 128)]
-        valid = flag_c > 0.5
-        pays_c = [inc_ref[0, p, :, pl.ds(off, 128)] for p in range(NPAY)]
-        masks = []
-        taken = jnp.zeros_like(valid)
-        for a in axes:
-            cc = pays_c[a]
-            m_m = valid & (~taken) & (cc < 0.0)
-            m_p = valid & (~taken) & (cc >= Tf)
-            masks += [m_m, m_p]
-            taken = taken | m_m | m_p
-        masks = [valid & (~taken)] + masks              # class 0: settled
+    def tile_body(gg, _):
+        def chunk_body(c, run):
+            off = pl.multiple_of(c * 128, 128)
+            flag_c = inc_ref[gg, 6, :, pl.ds(off, 128)]
+            valid = flag_c > 0.5
+            pays_c = [inc_ref[gg, p, :, pl.ds(off, 128)]
+                      for p in range(NPAY)]
+            masks = []
+            taken = jnp.zeros_like(valid)
+            for a in axes:
+                cc = pays_c[a]
+                m_m = valid & (~taken) & (cc < 0.0)
+                m_p = valid & (~taken) & (cc >= Tf)
+                masks += [m_m, m_p]
+                taken = taken | m_m | m_p
+            masks = [valid & (~taken)] + masks          # class 0: settled
 
-        runs_new = []
-        for cls in range(n_cls):
-            mc = masks[cls].astype(jnp.float32)
-            cumc = jax.lax.dot_general(
-                mc, u, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            n_c = cumc[:, 127:128]
-            run_c = run[:, cls:cls + 1]
-            runs_new.append(run_c + n_c)
-            ref = set_ref if cls == 0 else extra_refs[cls - 1]
+            runs_new = []
+            for cls in range(n_cls):
+                mc = masks[cls].astype(jnp.float32)
+                cumc = jax.lax.dot_general(
+                    mc, u, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                n_c = cumc[:, 127:128]
+                run_c = run[:, cls:cls + 1]
+                runs_new.append(run_c + n_c)
+                ref = set_ref if cls == 0 else extra_refs[cls - 1]
 
-            @pl.when(jnp.max(n_c) > 0.5)
-            def _(cumc=cumc, n_c=n_c, run_c=run_c, ref=ref, cls=cls):
-                src = _binsearch128(cumc, tgt)
-                for w in range(caps[cls] // 128):
-                    rel = kk + float(w * 128) - run_c
-                    hit = (rel >= 0.0) & (rel < n_c)
+                @pl.when(jnp.max(n_c) > 0.5)
+                def _(cumc=cumc, n_c=n_c, run_c=run_c, ref=ref, cls=cls):
+                    src = _binsearch128(cumc, tgt)
+                    for w in range(caps[cls] // 128):
+                        rel = kk + float(w * 128) - run_c
+                        hit = (rel >= 0.0) & (rel < n_c)
 
-                    @pl.when(jnp.sum(jnp.where(hit, 1.0, 0.0)) > 0.5)
-                    def _(rel=rel, hit=hit, w=w, ref=ref):
-                        idx2 = _take(src, jnp.clip(rel.astype(jnp.int32),
-                                                   0, 127))
-                        for p in range(NPAY):
-                            v = _take(pays_c[p], idx2)
-                            cur = ref[0, p, :, pl.ds(w * 128, 128)]
-                            ref[0, p, :, pl.ds(w * 128, 128)] = \
-                                jnp.where(hit, v, cur)
+                        @pl.when(jnp.sum(jnp.where(hit, 1.0, 0.0)) > 0.5)
+                        def _(rel=rel, hit=hit, w=w, ref=ref):
+                            idx2 = _take(src,
+                                         jnp.clip(rel.astype(jnp.int32),
+                                                  0, 127))
+                            for p in range(NPAY):
+                                v = _take(pays_c[p], idx2)
+                                cur = ref[gg, p, :, pl.ds(w * 128, 128)]
+                                ref[gg, p, :, pl.ds(w * 128, 128)] = \
+                                    jnp.where(hit, v, cur)
 
-        return jnp.concatenate(runs_new, axis=1)
+            return jnp.concatenate(runs_new, axis=1)
 
-    jax.lax.fori_loop(0, NCw, chunk_body,
-                      jnp.zeros((8, n_cls), jnp.float32))
+        jax.lax.fori_loop(0, NCw, chunk_body,
+                          jnp.zeros((8, n_cls), jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, G, tile_body, 0)
 
 
 def cleanup_rows_g(inc: jax.Array, Ke: int, T: int, axes,
@@ -467,14 +504,17 @@ def cleanup_rows_g(inc: jax.Array, Ke: int, T: int, axes,
     NT, _, _, W = inc.shape
     assert W % 128 == 0 and Ke % 128 == 0
     n_dir = 2 * len(axes)
-    blk = lambda w: pl.BlockSpec((1, NPAY, 8, w), lambda i: (i, 0, 0, 0),
+    per_tile = NPAY * 8 * (2 * W + n_dir * Ke) * 4
+    G = _tiles_per_program(NT, per_tile)
+    blk = lambda w: pl.BlockSpec((G, NPAY, 8, w), lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        partial(_cleanup_g_kernel, W=W, Ke=Ke, T=T, axes=tuple(axes)),
+        partial(_cleanup_g_kernel, W=W, Ke=Ke, T=T, axes=tuple(axes),
+                G=G),
         out_shape=(jax.ShapeDtypeStruct((NT, NPAY, 8, W), jnp.float32),)
         + tuple(jax.ShapeDtypeStruct((NT, NPAY, 8, Ke), jnp.float32)
                 for _ in range(n_dir)),
-        grid=(NT,),
+        grid=(NT // G,),
         in_specs=[blk(W)],
         out_specs=(blk(W),) + tuple(blk(Ke) for _ in range(n_dir)),
         interpret=interpret,
