@@ -93,19 +93,11 @@ def timeit(label, mk, *args, rethread=None):
     args2 = rethread(o, args) if rethread else args
     t0 = time.monotonic()
     o = f(*args2)
-    # force a real data round-trip: the tunnel's block_until_ready can
-    # return before execution; device_get of a dependent scalar cannot
-    s = float(jax.device_get(_scalar_of(o)))
-    dt = (time.monotonic() - t0) / REPS
-    print(f"{label}: {dt*1e3:8.2f} ms/iter (scalar {s:.3g})", flush=True)
-
-
-def _scalar_of(o):
-    """A small scalar depending on every leaf of o."""
-    tot = 0.0
-    for leaf in jax.tree.leaves(o):
-        tot = tot + jnp.sum(leaf[(0,) * (leaf.ndim - 1)][:1].astype(jnp.float32))
-    return tot
+    args3 = rethread(o, args2) if rethread else args2
+    o = f(*args3)
+    jax.block_until_ready(jax.tree.leaves(o)[0])
+    dt = (time.monotonic() - t0) / (2 * REPS)
+    print(f"{label}: {dt*1e3:8.2f} ms/iter", flush=True)
 
 
 if "reb" in WHAT:
