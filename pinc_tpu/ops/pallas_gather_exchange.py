@@ -105,9 +105,18 @@ def _extract_g_kernel(alive_ref, *refs, n_cls, Ks, T, L, classify, G=1):
     tgt = (iota + 1).astype(jnp.float32)
     kk = iota.astype(jnp.float32)
 
+    # group-unroll: U chunks of straight-line work per fori iteration.
+    # The per-chunk bodies are SMALL single-vreg ops in a sequential
+    # dependency chain; one chunk per iteration left the kernel bound by
+    # per-iteration overhead (~30 cycles/vector-op effective — measured
+    # round 5, PARITY.md).  The per-chunk placement guard is dropped for
+    # the same reason: an unconditional binsearch+gather pipeline beats
+    # a scalar branch around it at production leave rates (~3%, where
+    # nearly every chunk has leavers anyway).
+    U = min(4, NC)
+
     def tile_body(gg, _):
-        def chunk_body(c, run):
-            off = pl.multiple_of(c * 128, 128)
+        def chunk_work(off, run):
             sl = (gg, slice(None), pl.ds(off, 128))
             alive_c = alive_ref[sl]
             planes_c = [plane_refs[p][sl] for p in range(6)]
@@ -123,31 +132,32 @@ def _extract_g_kernel(alive_ref, *refs, n_cls, Ks, T, L, classify, G=1):
                 n_c = cumc[:, 127:128]
                 run_c = run[:, cls:cls + 1]
                 runs_new.append(run_c + n_c)
-
-                @pl.when(jnp.max(n_c) > 0.5)
-                def _(cumc=cumc, n_c=n_c, run_c=run_c, cls=cls):
-                    src = _binsearch128(cumc, tgt)      # rank -> lane
-                    for w in range(KV):
-                        rel = kk + float(w * 128) - run_c  # buf-local rank
-                        hit = (rel >= 0.0) & (rel < n_c)
-
-                        @pl.when(jnp.sum(jnp.where(hit, 1.0, 0.0)) > 0.5)
-                        def _(rel=rel, hit=hit, w=w, cls=cls):
-                            idx2 = _take(src,
-                                         jnp.clip(rel.astype(jnp.int32),
-                                                  0, 127))
-                            bs = pl.ds(cls * Ks + w * 128, 128)
-                            for p in range(6):
-                                v = _take(planes_c[p], idx2)
-                                buf_ref[gg, p, :, bs] = jnp.where(
-                                    hit, v, buf_ref[gg, p, :, bs])
-                            buf_ref[gg, 6, :, bs] = jnp.where(
-                                hit, 1.0, buf_ref[gg, 6, :, bs])
+                src = _binsearch128(cumc, tgt)          # rank -> lane
+                for w in range(KV):
+                    rel = kk + float(w * 128) - run_c   # buf-local rank
+                    hit = (rel >= 0.0) & (rel < n_c)
+                    idx2 = _take(src, jnp.clip(rel.astype(jnp.int32),
+                                               0, 127))
+                    bs = pl.ds(cls * Ks + w * 128, 128)
+                    for p in range(6):
+                        v = _take(planes_c[p], idx2)
+                        buf_ref[gg, p, :, bs] = jnp.where(
+                            hit, v, buf_ref[gg, p, :, bs])
+                    buf_ref[gg, 6, :, bs] = jnp.where(
+                        hit, 1.0, buf_ref[gg, 6, :, bs])
 
             return jnp.concatenate(runs_new, axis=1)
 
-        jax.lax.fori_loop(0, NC, chunk_body,
-                          jnp.zeros((8, n_cls), jnp.float32))
+        def group_body(c, run):
+            base = pl.multiple_of(c * (U * 128), U * 128)
+            for k in range(U):
+                run = chunk_work(base + k * 128, run)
+            return run
+
+        run = jax.lax.fori_loop(0, NC // U, group_body,
+                                jnp.zeros((8, n_cls), jnp.float32))
+        for k in range(NC - (NC // U) * U):        # static tail chunks
+            run = chunk_work(((NC // U) * U + k) * 128, run)
         return 0
 
     jax.lax.fori_loop(0, G, tile_body, 0)
@@ -294,7 +304,16 @@ def _merge_g_kernel(alive_ref, inc_ref, *refs, blocks, KT, L, G=1):
         def run_pass(p, first):
             """Place source row (r - p) % 8's unconsumed arrivals into
             dest row r's free slots, lowest-rank first.  first=True
-            additionally copies stay-behind payloads/alive through."""
+            additionally copies stay-behind payloads/alive through.
+
+            Pass 0 runs GROUP-UNROLLED (U chunks of straight-line work
+            per fori iteration) with UNCONDITIONAL placement: the
+            per-chunk scalar guard and one-chunk iterations left the
+            kernel at ~30 cycles/vector-op effective (PARITY.md round-5
+            measurements); at production leave rates nearly every chunk
+            places arrivals anyway, and masked placement on an empty
+            chunk is a no-op.  Spill passes (p >= 1) are rare and keep
+            the compact guarded one-chunk loop to bound code size."""
             roll = (lambda x: jnp.roll(x, p, axis=0)) if p else (
                 lambda x: x)
             nb_p = [roll(nb) for nb in n_bs]
@@ -302,9 +321,35 @@ def _merge_g_kernel(alive_ref, inc_ref, *refs, blocks, KT, L, G=1):
             co_p = roll(consumed_ref[...][:, :1])
             n_avail = na_p - co_p                       # per DEST row
 
-            def chunk_body(c, carry):
+            def place(sl, al_c, run, frank_c, take_any):
+                # source-row arrival rank -> arrival column (piecewise
+                # over the static blocks, counts from the source row)
+                arank = co_p + frank_c
+                col = jnp.full((8, 128), -1.0, jnp.float32)
+                cum_prev = jnp.zeros((8, 1), jnp.float32)
+                for (boff, _w), n_b in zip(blocks, nb_p):
+                    inb = (arank >= cum_prev) & (arank < cum_prev + n_b)
+                    col = jnp.where(
+                        inb, float(boff) + arank - cum_prev, col)
+                    cum_prev = cum_prev + n_b
+                coli = col.astype(jnp.int32)
+                hit_any = take_any & (col >= 0.0)
+                for pp in range(6):
+                    out_c = (plane_refs[pp][sl] if first
+                             else out_refs[pp][sl])
+                    for v in range(SV):
+                        idxv = coli - v * 128
+                        hitv = hit_any & (idxv >= 0) & (idxv < 128)
+                        src = roll(inc_ref[gg, pp, :,
+                                           pl.ds(v * 128, 128)])
+                        out_c = jnp.where(
+                            hitv, _take(src, jnp.clip(idxv, 0, 127)),
+                            out_c)
+                    out_refs[pp][sl] = out_c
+                alive_out_ref[sl] = jnp.where(hit_any, 1.0, al_c)
+
+            def chunk_work(off, carry):
                 run, takes = carry
-                off = pl.multiple_of(c * 128, 128)
                 sl = (gg, slice(None), pl.ds(off, 128))
                 al_c = alive_ref[sl] if first else alive_out_ref[sl]
                 free_c = (al_c <= 0.5).astype(jnp.float32)
@@ -316,47 +361,39 @@ def _merge_g_kernel(alive_ref, inc_ref, *refs, blocks, KT, L, G=1):
                 got = jnp.sum(jnp.where(take_any, 1.0, 0.0), axis=1,
                               keepdims=True)
 
-                @pl.when(jnp.sum(got) > 0.5)
-                def _():
-                    # source-row arrival rank -> arrival column
-                    # (piecewise over the static blocks, counts from the
-                    # source row)
-                    arank = co_p + frank_c
-                    col = jnp.full((8, 128), -1.0, jnp.float32)
-                    cum_prev = jnp.zeros((8, 1), jnp.float32)
-                    for (boff, _w), n_b in zip(blocks, nb_p):
-                        inb = (arank >= cum_prev) & (arank < cum_prev + n_b)
-                        col = jnp.where(
-                            inb, float(boff) + arank - cum_prev, col)
-                        cum_prev = cum_prev + n_b
-                    coli = col.astype(jnp.int32)
-                    hit_any = take_any & (col >= 0.0)
-                    for pp in range(6):
-                        out_c = (plane_refs[pp][sl] if first
-                                 else out_refs[pp][sl])
-                        for v in range(SV):
-                            idxv = coli - v * 128
-                            hitv = hit_any & (idxv >= 0) & (idxv < 128)
-                            src = roll(inc_ref[gg, pp, :,
-                                               pl.ds(v * 128, 128)])
-                            out_c = jnp.where(
-                                hitv, _take(src, jnp.clip(idxv, 0, 127)),
-                                out_c)
-                        out_refs[pp][sl] = out_c
-                    alive_out_ref[sl] = jnp.where(hit_any, 1.0, al_c)
-
                 if first:
-                    @pl.when(jnp.sum(got) <= 0.5)
+                    place(sl, al_c, run, frank_c, take_any)
+                else:
+                    @pl.when(jnp.sum(got) > 0.5)
                     def _():
-                        for pp in range(6):
-                            out_refs[pp][sl] = plane_refs[pp][sl]
-                        alive_out_ref[sl] = al_c
+                        place(sl, al_c, run, frank_c, take_any)
 
                 return run + cum_c[:, 127:128], takes + got
 
-            _, takes = jax.lax.fori_loop(
-                0, NC, chunk_body, (jnp.zeros((8, 1), jnp.float32),
-                                    jnp.zeros((8, 1), jnp.float32)))
+            if first:
+                U = min(4, NC)
+
+                def group_body(c, carry):
+                    base = pl.multiple_of(c * (U * 128), U * 128)
+                    for k in range(U):
+                        carry = chunk_work(base + k * 128, carry)
+                    return carry
+
+                carry = jax.lax.fori_loop(
+                    0, NC // U, group_body,
+                    (jnp.zeros((8, 1), jnp.float32),
+                     jnp.zeros((8, 1), jnp.float32)))
+                for k in range(NC - (NC // U) * U):  # static tail chunks
+                    carry = chunk_work(((NC // U) * U + k) * 128, carry)
+                _, takes = carry
+            else:
+                def chunk_body(c, carry):
+                    off = pl.multiple_of(c * 128, 128)
+                    return chunk_work(off, carry)
+
+                _, takes = jax.lax.fori_loop(
+                    0, NC, chunk_body, (jnp.zeros((8, 1), jnp.float32),
+                                        jnp.zeros((8, 1), jnp.float32)))
             # takes are indexed by DEST row; credit the SOURCE row
             back = jnp.roll(takes, -p, axis=0) if p else takes
             consumed_ref[...] = jnp.broadcast_to(
@@ -440,9 +477,13 @@ def _cleanup_g_kernel(inc_ref, *out_refs, W, Ke, T, axes, G=1):
     n_cls = n_dir + 1
     caps = [W] + [Ke] * n_dir
 
+    # group-unroll + unconditional masked placement: see the extract
+    # kernel's note (one-chunk guarded fori iterations are overhead-
+    # bound; masked placement on an empty class is a no-op)
+    U = min(4, NCw)
+
     def tile_body(gg, _):
-        def chunk_body(c, run):
-            off = pl.multiple_of(c * 128, 128)
+        def chunk_work(off, run):
             flag_c = inc_ref[gg, 6, :, pl.ds(off, 128)]
             valid = flag_c > 0.5
             pays_c = [inc_ref[gg, p, :, pl.ds(off, 128)]
@@ -467,29 +508,30 @@ def _cleanup_g_kernel(inc_ref, *out_refs, W, Ke, T, axes, G=1):
                 run_c = run[:, cls:cls + 1]
                 runs_new.append(run_c + n_c)
                 ref = set_ref if cls == 0 else extra_refs[cls - 1]
-
-                @pl.when(jnp.max(n_c) > 0.5)
-                def _(cumc=cumc, n_c=n_c, run_c=run_c, ref=ref, cls=cls):
-                    src = _binsearch128(cumc, tgt)
-                    for w in range(caps[cls] // 128):
-                        rel = kk + float(w * 128) - run_c
-                        hit = (rel >= 0.0) & (rel < n_c)
-
-                        @pl.when(jnp.sum(jnp.where(hit, 1.0, 0.0)) > 0.5)
-                        def _(rel=rel, hit=hit, w=w, ref=ref):
-                            idx2 = _take(src,
-                                         jnp.clip(rel.astype(jnp.int32),
-                                                  0, 127))
-                            for p in range(NPAY):
-                                v = _take(pays_c[p], idx2)
-                                cur = ref[gg, p, :, pl.ds(w * 128, 128)]
-                                ref[gg, p, :, pl.ds(w * 128, 128)] = \
-                                    jnp.where(hit, v, cur)
+                src = _binsearch128(cumc, tgt)
+                for w in range(caps[cls] // 128):
+                    rel = kk + float(w * 128) - run_c
+                    hit = (rel >= 0.0) & (rel < n_c)
+                    idx2 = _take(src, jnp.clip(rel.astype(jnp.int32),
+                                               0, 127))
+                    for p in range(NPAY):
+                        v = _take(pays_c[p], idx2)
+                        cur = ref[gg, p, :, pl.ds(w * 128, 128)]
+                        ref[gg, p, :, pl.ds(w * 128, 128)] = \
+                            jnp.where(hit, v, cur)
 
             return jnp.concatenate(runs_new, axis=1)
 
-        jax.lax.fori_loop(0, NCw, chunk_body,
-                          jnp.zeros((8, n_cls), jnp.float32))
+        def group_body(c, run):
+            base = pl.multiple_of(c * (U * 128), U * 128)
+            for k in range(U):
+                run = chunk_work(base + k * 128, run)
+            return run
+
+        run = jax.lax.fori_loop(0, NCw // U, group_body,
+                                jnp.zeros((8, n_cls), jnp.float32))
+        for k in range(NCw - (NCw // U) * U):      # static tail chunks
+            run = chunk_work(((NCw // U) * U + k) * 128, run)
         return 0
 
     jax.lax.fori_loop(0, G, tile_body, 0)
